@@ -1,13 +1,612 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.geofunctions._
+import graft.functions.GeomConstructors._
+import graft.operators._
+import graft.sources.DerivedTables._
+
+/** Driver contract (see the build brief): `queries` = one entry per
+  * implemented operator (SURVEY.md §2 + training-data ops), `oracleSql` =
+  * DuckDB-portable ANSI SQL producing identical rows (identical column
+  * names, deterministic ORDER BY) for every SQL-expressible query.
+  *
+  * Oracle-portability rules used throughout (see sources/DerivedTables):
+  * integer arithmetic + IEEE doubles with identical expression shape on
+  * both sides; money sums as exact integer cents; boundaries offset off
+  * the coordinate grid so strict/closed predicate differences can't bite.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship on sf0.001: geotagged pages → cell-partitioned spatial join
+    * vs theme polygons → exact ray-cast refine → tile assignment (z12). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val joined = SpatialJoin.pointsInPolygons(
+      pages(spark, dir), polygons(spark, dir), res = 5)
+    joined
+      .withColumn("tile_x", tile_x(col("lng"), 12))
+      .withColumn("tile_y", tile_y(col("lat"), 12))
+      .select("url", "warc_ts", "text", "lang", "poly_id", "theme", "tile_x", "tile_y")
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def li(s: SparkSession, d: String) = lineitem(s, d)
+  /** exact money-cents: round(x*100) as long — same on both engines */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private val havSql = graft.sources.DerivedTables.haversineSql(
+    "q.qlat", "q.qlng", "p.lat", "p.lng")
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ===== TPC-H-style relational core (scan/filter/agg/join/window/set) =====
+    "q1_agg" -> ((s, d) => {
+      li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_topk" -> ((s, d) => {
+      val o = orders(s, d); val c = customer(s, d)
+      li(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.where(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_multijoin" -> ((s, d) => {
+      li(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).where(col("o_totalprice") > 100000)
+          .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2 && col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    "q_distinct_hier" -> ((s, d) => {
+      part(s, d).select(col("p_brand"), col("p_type")).distinct()
+        .orderBy(col("p_brand"), col("p_type"))
+    }),
+
+    "q_union" -> ((s, d) => {
+      customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")))
+        .distinct().orderBy(col("nationkey"))
+    }),
+
+    "q_wide_pivot" -> ((s, d) => {
+      // wide-form boolean pivot (reference F2 semantics) on p_brand ∈ 5 brands
+      val brands = Seq("Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5")
+      val pivots = brands.map(b =>
+        coalesce(col("p_brand") === lit(b), lit(false)).as(s"part|${b.toLowerCase}"))
+      part(s, d).select((col("p_partkey") +: pivots): _*).orderBy(col("p_partkey"))
+    }),
+
+    // ===== spatial: bbox / PIP / tiles / cells / joins / kNN / range =====
+    "s_bbox_filter" -> ((s, d) => {
+      // P1 strict-inequality bbox predicate over the page points
+      pages(s, d)
+        .withColumn("bbox", struct(col("lng").as("xmin"), col("lat").as("ymin"),
+          col("lng").as("xmax"), col("lat").as("ymax")))
+        .where(Pipeline.bboxOverlapPredicate(col("bbox"), 10.00005, 20.00005, 30.00005, 40.00005))
+        .select(col("page_id"), col("lat"), col("lng"), col("lang"))
+        .orderBy(col("page_id"))
+    }),
+
+    "s_pip_convex" -> ((s, d) => {
+      // exact ray-cast refine against a convex pentagon (non-rectangular →
+      // P5 short-circuit does NOT fire; P3 refine runs)
+      pages(s, d)
+        .where(ray_cast_contains(lit(PentagonWkb), col("lng"), col("lat")))
+        .select(col("page_id"), col("lat"), col("lng"))
+        .orderBy(col("page_id"))
+    }),
+
+    "s_tile_assign" -> ((s, d) => {
+      pages(s, d)
+        .withColumn("tile_x", tile_x(col("lng"), 8))
+        .withColumn("tile_y", tile_y(col("lat"), 8))
+        .select(col("page_id"), col("tile_x"), col("tile_y"))
+        .orderBy(col("page_id"))
+    }),
+
+    "s_tile_raster" -> ((s, d) => {
+      // raster grid materialization: per-tile counts at z=5
+      pages(s, d)
+        .groupBy(tile_x(col("lng"), 5).as("tile_x"), tile_y(col("lat"), 5).as("tile_y"))
+        .agg(count(lit(1)).as("n_pages"))
+        .orderBy(col("tile_x"), col("tile_y"))
+    }),
+
+    "s_cell_agg" -> ((s, d) => {
+      // cell-encode (batched Expression) → grid x/y → counts, res 6
+      val c = cell_encode(col("lat"), col("lng"), 6)
+      pages(s, d)
+        .groupBy(cell_x(c).as("cell_gx"), cell_y(c).as("cell_gy"))
+        .agg(count(lit(1)).as("n_pages"))
+        .orderBy(col("cell_gx"), col("cell_gy"))
+    }),
+
+    "s_index_bounds" -> ((s, d) => {
+      // cell-prefix index build (S4/A1 analog): exact bounds per cell
+      CellIndex.build(pages(s, d), res = 4)
+        .select(cell_x(col("cell")).as("cell_gx"), cell_y(col("cell")).as("cell_gy"),
+          col("n_rows"), col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+        .orderBy(col("cell_gx"), col("cell_gy"))
+    }),
+
+    "s_join_rect" -> ((s, d) => {
+      // the flagship join: cell cover + equi-join + exact refine (broadcast)
+      SpatialJoin.pointsInPolygons(pages(s, d), polygons(s, d), res = 5)
+        .select(col("poly_id"), col("page_id"))
+        .orderBy(col("poly_id"), col("page_id"))
+    }),
+
+    "s_join_rect_salted" -> ((s, d) => {
+      // same semantics through the skew path: salted shuffle join (salt=8)
+      SpatialJoin.pointsInPolygons(pages(s, d), polygons(s, d), res = 5,
+        broadcastPolys = false, salt = 8)
+        .select(col("poly_id"), col("page_id"))
+        .orderBy(col("poly_id"), col("page_id"))
+    }),
+
+    "s_knn" -> ((s, d) => {
+      SpatialJoin.knnJoin(geoQueries(s, d), pages(s, d), k = 5, res = 7,
+        qKeyCol = "q_id", tieCol = "page_id")
+        .select(col("q_id"), col("knn_rank"), col("page_id"))
+        .orderBy(col("q_id"), col("knn_rank"))
+    }),
+
+    "s_range_join" -> ((s, d) => {
+      SpatialJoin.distanceJoin(geoQueries(s, d), pages(s, d), radiusM = 500000.0, res = 6)
+        .select(col("q_id"), col("page_id"))
+        .orderBy(col("q_id"), col("page_id"))
+    }),
+
+    "s_convert_pipeline" -> ((s, d) => {
+      // reference convert_geometry parity surface: P1 ∧ P3 ∧ P2 + P4
+      val feats = pages(s, d)
+        .withColumn("id", col("page_id").cast("string"))
+        .withColumn("geometry", to_binary(lit("01"), lit("hex"))) // placeholder geometry payload
+        .withColumn("bbox", struct(col("lng").as("xmin"), col("lat").as("ymin"),
+          col("lng").as("xmax"), col("lat").as("ymax")))
+      Pipeline.convertGeometry(feats, PentagonWkt,
+        predicate = Some(Seq(Seq(("lang", "==", "en")), Seq(("lang", "==", "de")))),
+        columns = Some(Seq("lat", "lng", "lang")))
+        .drop("geometry") // binary col excluded from oracle compare
+        .orderBy(col("id"))
+    }),
+
+    "s_hilbert_order" -> ((s, d) => {
+      // Hilbert clustering key (S8/O1 analog) — no portable SQL; rows-only
+      pages(s, d)
+        .withColumn("h", hilbert_index(col("lat"), col("lng"), -180, -60, 180, 60, 16))
+        .select(col("page_id"), col("h"))
+        .orderBy(col("h"), col("page_id"))
+    }),
+
+    // ===== training-data ops: dedup / text / similarity =====
+    "d_dedup_exact" -> ((s, d) => {
+      Dedup.exactDedupByHash(documents(s, d), "text", "doc_id")
+        .orderBy(col("text_md5"))
+    }),
+
+    "d_token_count" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_quality" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.stopwordRatio(col("text"), TextAnalysis.EnglishStopwords) * 1000)
+          .cast("long").as("stop_permille"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_lang_guess" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_jaccard_pairs" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+        shingleLen = 3, threshold = 0.12, maxShingleFreq = 10000)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d_minhash_pairs" -> ((s, d) => {
+      // MinHash+LSH near-dup candidates (hash fn engine-specific → rows-only
+      // check here; exactness vs brute force in DedupSpec)
+      Dedup.minhashLshPairs(documents(s, d), "text", "doc_id",
+        shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 14)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "m_binary_meta" -> ((s, d) => {
+      // multimodal plumbing: opaque binary column + typed metadata
+      documents(s, d)
+        .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+        .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "e_cosine_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb.where(col("vec_id") >= 5), qs, k = 3)
+        .select(col("q_id"), col("sim_rank"), col("vec_id"))
+        .orderBy(col("q_id"), col("sim_rank"))
+    }),
+
+    "e_ann_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.annTopK(emb.where(col("vec_id") >= 5), qs, k = 3,
+        nPlanes = 16, bands = 8)
+        .select(col("q_id"), col("sim_rank"), col("vec_id"))
+        .orderBy(col("q_id"), col("sim_rank"))
+    }),
+
+    // ===== events: time-window aggregation + sessionization =====
+    "ev_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(unix_timestamp(col("window.start")).as("bucket"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    "ev_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("user_id"), col("session_id"))
+    }))
+
+  // a convex pentagon with off-grid vertices (no page point can sit on an edge)
+  final val PentagonWkt: String =
+    "POLYGON ((-20.000033 -10.000057, 15.000041 -25.000013, 40.000029 5.000071, 10.000037 35.000023, -30.000049 15.000011, -20.000033 -10.000057))"
+  final val PentagonWkb: Array[Byte] = graft.geo.Wkt.parse(PentagonWkt)
+
+  // --------------------------------------------------------------- oracles
+
+  private val P = graft.sources.DerivedTables.pagesSql
+  private val POLY = graft.sources.DerivedTables.polygonsSql
+  private val GQ = graft.sources.DerivedTables.geoQueriesSql
+
+  /** Half-plane conjunction for the pentagon (convex, CCW): strict interior. */
+  private val pentagonInteriorSql: String = {
+    val vs = Seq(
+      (-20.000033, -10.000057), (15.000041, -25.000013), (40.000029, 5.000071),
+      (10.000037, 35.000023), (-30.000049, 15.000011))
+    vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.length)
+      s"(($x2 - $x1) * (lat - $y1) - ($y2 - $y1) * (lng - $x1)) > 0"
+    }.mkString("(", " AND ", ")")
+  }
+
+  /** Language-ID oracle: max marker hits, ties → lexicographically smallest
+    * language, zero hits → 'und' (mirrors TextAnalysis.langGuess). */
+  private val langGuessSql: String = {
+    val markers = TextAnalysis.LangMarkers.sortBy(_._1) // lex order = tie preference
+    val hits = markers.map { case (lang, ms) =>
+      val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct(toks), $arr)) AS hits_$lang"
+    }.mkString(", ")
+    val langs = markers.map(_._1)
+    val caseChain = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    val anyPos = langs.map(l => s"hits_$l > 0").mkString(" OR ")
+    s"""WITH toksd AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, $hits FROM toksd
+       |)
+       |SELECT doc_id, CASE WHEN NOT ($anyPos) THEN 'und' $caseChain END AS lang_guess
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, price_cents FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 AND o_custkey % 100 = 0 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_distinct_hier" ->
+      "SELECT DISTINCT p_brand, p_type FROM part ORDER BY 1, 2",
+
+    "q_union" ->
+      """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1""".stripMargin,
+
+    "q_wide_pivot" ->
+      """SELECT p_partkey,
+        |  coalesce(p_brand = 'Brand#1', false) AS "part|brand#1",
+        |  coalesce(p_brand = 'Brand#2', false) AS "part|brand#2",
+        |  coalesce(p_brand = 'Brand#3', false) AS "part|brand#3",
+        |  coalesce(p_brand = 'Brand#4', false) AS "part|brand#4",
+        |  coalesce(p_brand = 'Brand#5', false) AS "part|brand#5"
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s_bbox_filter" ->
+      s"""WITH $P
+         |SELECT p.page_id, p.lat, p.lng,
+         |  ['en','de','pl','fr','ja'][CAST(p.page_id % 5 AS INT) + 1] AS lang
+         |FROM pages p
+         |WHERE p.lng < 30.00005 AND p.lng > 10.00005 AND p.lat < 40.00005 AND p.lat > 20.00005
+         |ORDER BY p.page_id""".stripMargin,
+
+    "s_pip_convex" ->
+      s"""WITH $P
+         |SELECT page_id, lat, lng FROM pages
+         |WHERE $pentagonInteriorSql
+         |ORDER BY page_id""".stripMargin,
+
+    "s_tile_assign" ->
+      s"""WITH $P
+         |SELECT page_id,
+         |  CAST(least(greatest(floor((lng + 180.0) / 360.0 * 256), 0), 255) AS BIGINT) AS tile_x,
+         |  CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 256), 0), 255) AS BIGINT) AS tile_y
+         |FROM pages ORDER BY page_id""".stripMargin,
+
+    "s_tile_raster" ->
+      s"""WITH $P
+         |SELECT CAST(least(greatest(floor((lng + 180.0) / 360.0 * 32), 0), 31) AS BIGINT) AS tile_x,
+         |  CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32), 0), 31) AS BIGINT) AS tile_y,
+         |  count(*) AS n_pages
+         |FROM pages GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s_cell_agg" ->
+      s"""WITH $P
+         |SELECT CAST(least(greatest(floor((lng + 180.0) / 360.0 * 64), 0), 63) AS BIGINT) AS cell_gx,
+         |  CAST(least(greatest(floor((lat + 90.0) / 180.0 * 64), 0), 63) AS BIGINT) AS cell_gy,
+         |  count(*) AS n_pages
+         |FROM pages GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s_index_bounds" ->
+      s"""WITH $P
+         |SELECT CAST(least(greatest(floor((lng + 180.0) / 360.0 * 16), 0), 15) AS BIGINT) AS cell_gx,
+         |  CAST(least(greatest(floor((lat + 90.0) / 180.0 * 16), 0), 15) AS BIGINT) AS cell_gy,
+         |  count(*) AS n_rows, min(lng) AS xmin, min(lat) AS ymin, max(lng) AS xmax, max(lat) AS ymax
+         |FROM pages GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s_join_rect" ->
+      s"""WITH $P, $POLY
+         |SELECT y.poly_id, p.page_id FROM pages p
+         |JOIN polys y ON p.lng > y.xmin AND p.lng < y.xmax AND p.lat > y.ymin AND p.lat < y.ymax
+         |ORDER BY y.poly_id, p.page_id""".stripMargin,
+
+    "s_join_rect_salted" ->
+      s"""WITH $P, $POLY
+         |SELECT y.poly_id, p.page_id FROM pages p
+         |JOIN polys y ON p.lng > y.xmin AND p.lng < y.xmax AND p.lat > y.ymin AND p.lat < y.ymax
+         |ORDER BY y.poly_id, p.page_id""".stripMargin,
+
+    "s_knn" ->
+      s"""WITH $P, $GQ
+         |SELECT q_id, knn_rank, page_id FROM (
+         |  SELECT q.q_id, p.page_id,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY $havSql ASC, p.page_id ASC) AS knn_rank
+         |  FROM geoq q CROSS JOIN pages p)
+         |WHERE knn_rank <= 5 ORDER BY q_id, knn_rank""".stripMargin,
+
+    "s_range_join" ->
+      s"""WITH $P, $GQ
+         |SELECT q.q_id, p.page_id FROM geoq q JOIN pages p
+         |ON $havSql <= 500000.0
+         |ORDER BY q.q_id, p.page_id""".stripMargin,
+
+    "s_convert_pipeline" ->
+      s"""WITH $P
+         |SELECT CAST(page_id AS VARCHAR) AS id, lat, lng,
+         |  ['en','de','pl','fr','ja'][CAST(page_id % 5 AS INT) + 1] AS lang
+         |FROM pages
+         |WHERE $pentagonInteriorSql
+         |  AND ['en','de','pl','fr','ja'][CAST(page_id % 5 AS INT) + 1] IN ('en', 'de')
+         |ORDER BY id""".stripMargin,
+
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_token_count" ->
+      """SELECT doc_id, len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks,
+        |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / greatest(len(text), 1) AS praw
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], x))) * 1.0 / len(toks) ELSE 0.0 END AS sraw,
+        |    praw FROM t
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(round(sraw * 1000) AS BIGINT) AS stop_permille,
+        |  round((CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END) +
+        |        (CASE WHEN praw <= 0.2 THEN 0.3 ELSE 0.0 END) +
+        |        (CASE WHEN sraw >= 0.05 THEN 0.3 ELSE 0.0 END), 1) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "d_lang_guess" -> langGuessSql,
+
+    "d_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS sh
+        |    FROM toks)
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(round(i * 10000.0 / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_e4
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.12
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "m_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5
+        |), datav AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings WHERE vec_id >= 5
+        |)
+        |SELECT q_id, sim_rank, vec_id FROM (
+        |  SELECT q.q_id, d.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id ASC) AS sim_rank
+        |  FROM q CROSS JOIN datav d)
+        |WHERE sim_rank <= 3 ORDER BY q_id, sim_rank""".stripMargin,
+
+    "ev_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, event_type,
+        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, value,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

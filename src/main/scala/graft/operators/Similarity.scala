@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (ANN) over an Array[Float] column.
+  *
+  * Two tiers, per the build brief:
+  *  - brute-force cosine top-k — the exact baseline (O(Q·N), fine when the
+  *    query side is dimension-sized and broadcast; the data side is never
+  *    shuffled);
+  *  - LSH-bucketed ANN (random hyperplane signatures) — the scale path:
+  *    candidates share a signature bucket, so the join is equi-hash on the
+  *    bucket id instead of a cross product.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, accumulated in double
+    * (deterministic left-to-right fold — reproducible across runs). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k: for each query row, the k most-cosine-similar
+    * data rows. Query side broadcast; data side scanned once, no shuffle
+    * until the final per-query top-k (partial top-k per partition via the
+    * window's sort would be ideal — Spark's TakeOrderedAndProject handles
+    * the global case; per-group we use window row_number which AQE keeps
+    * one-shuffle). Deterministic: ties break by data id ascending. */
+  def bruteForceTopK(data: DataFrame, queries: DataFrame, k: Int,
+                     dataIdCol: String = "vec_id", dataVecCol: String = "embedding",
+                     qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = data.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine(col(dataVecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(dataIdCol).asc)
+    joined.withColumn("sim_rank", row_number().over(w))
+      .where(col("sim_rank") <= k)
+      .select(col(qIdCol), col("sim_rank"), col(dataIdCol), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim j):
+    * a reproducible ±1 derived from a splitmix-style avalanche — the same
+    * on every executor with no RNG state. */
+  private def planeSign(p: Int, j: Column): Column = {
+    val h = xxhash64(lit(p), j)
+    when(h.bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** `nPlanes`-bit random-hyperplane signature of a vector column (sign of
+    * the ±1-weighted component sum per plane), packed into a long. */
+  def lshSignature(vec: Column, nPlanes: Int): Column = {
+    require(nPlanes <= 63, "signature packs into one long")
+    val sig = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeSign(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    sig.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: candidates = data rows sharing a signature band with the
+    * query (banded like MinHash-LSH to boost recall), cosine-ranked.
+    * Recall < 1 by construction; the companion spec measures it against
+    * bruteForceTopK. */
+  def annTopK(data: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 16, bands: Int = 4,
+              dataIdCol: String = "vec_id", dataVecCol: String = "embedding",
+              qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPlanes % bands == 0)
+    val bandBits = nPlanes / bands
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, vecCol: String, prefix: String): DataFrame =
+      df.withColumn(s"${prefix}sig", lshSignature(col(vecCol), nPlanes))
+        .withColumn("_band", explode(array((0 until bands).map { b =>
+          struct(lit(b).as("b"),
+            shiftright(col(s"${prefix}sig"), b * bandBits).bitwiseAND(lit(mask)).as("v"))
+        }: _*)))
+        .drop(s"${prefix}sig")
+    val d = banded(data, dataVecCol, "d_")
+    val q = banded(queries, qVecCol, "q_")
+    val cand = d.join(broadcast(q), Seq("_band"))
+      .drop("_band")
+      .dropDuplicates(qIdCol, dataIdCol)
+      .withColumn("cosine", cosine(col(dataVecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(dataIdCol).asc)
+    cand.withColumn("sim_rank", row_number().over(w))
+      .where(col("sim_rank") <= k)
+      .select(col(qIdCol), col("sim_rank"), col(dataIdCol), col("cosine"))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.geofunctions._
+import graft.functions.GeomConstructors._
+import graft.geo.Cell
+
+/** The engine's flagship operators: cell-partitioned spatial joins.
+  *
+  * Generalizes the reference's single-geometry STRtree probe
+  * (overturemaestro/data_downloader.py:1026-1041) to a distributed
+  * points-vs-polygons join:
+  *
+  *   pages --cell_encode--> (cell, page)            [narrow, codegen]
+  *   polys --cover_cells/explode--> (cell, poly)    [narrow, small side]
+  *   equi-join on cell  (broadcast if polys small, else shuffle+AQE)
+  *   exact ray-cast refine                          [narrow, codegen]
+  *
+  * Scale design (100 TB / 10^12 pages):
+  *  - the points side is NEVER shuffled when the polygon side broadcasts —
+  *    the whole join is map-side;
+  *  - with a large polygon side, both sides hash-partition by cell; skew
+  *    from megacity cells is handled by `salt` (replicate polygon cells
+  *    `salt`× and split page cells by a uniform hash) plus AQE skew-join;
+  *  - each point encodes to exactly ONE cell, and a polygon's cover cells
+  *    are distinct, so the equi-join emits no duplicate (point, polygon)
+  *    pairs — no post-dedup shuffle needed.
+  */
+object SpatialJoin {
+
+  /** Inner join: rows of `points` inside rows of `polys` (exact, ray-cast).
+    *
+    * @param points must carry `latCol`/`lngCol`
+    * @param polys  must carry a WKB areal geometry in `geomCol`
+    * @param res    cell resolution of the join key (coarser = fewer cover
+    *               cells per polygon, finer = fewer refine false-positives)
+    * @param broadcastPolys hint the polygon side as broadcast (dimension-
+    *               sized polygon sets: always do this — map-side join)
+    * @param salt   >1 replicates each polygon-cell `salt` times and splits
+    *               points uniformly across replicas — for skewed cells in
+    *               shuffle-join mode (no-op semantically)
+    */
+  def pointsInPolygons(points: DataFrame, polys: DataFrame, res: Int,
+                       latCol: String = "lat", lngCol: String = "lng",
+                       geomCol: String = "geometry",
+                       broadcastPolys: Boolean = true,
+                       salt: Int = 1): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val pts = points.withColumn("_cell", cell_encode(col(latCol), col(lngCol), res))
+    val pcRaw = polys.withColumn("_cell", explode(cover_cells(col(geomCol), res)))
+    val (lhs, rhs, keys) =
+      if (salt == 1) (pts, pcRaw, Seq("_cell"))
+      else {
+        val saltedPolys = pcRaw.withColumn("_salt",
+          explode(array((0 until salt).map(lit): _*)))
+        val saltedPts = pts.withColumn("_salt",
+          pmod(xxhash64(col(latCol), col(lngCol)), lit(salt)).cast("int"))
+        (saltedPts, saltedPolys, Seq("_cell", "_salt"))
+      }
+    val joined = lhs.join(if (broadcastPolys) broadcast(rhs) else rhs, keys)
+    joined
+      .where(ray_cast_contains(col(geomCol), col(lngCol), col(latCol)))
+      .drop("_cell", "_salt")
+  }
+
+  /** Distance (range) join: pairs (query, point) with haversine distance
+    * <= radiusM. Query side is expected dimension-sized (broadcast).
+    * Plan: per query, cover the radius-expanded bbox with cells at `res`,
+    * explode, equi-join on the points' cell, exact haversine refine. */
+  def distanceJoin(queries: DataFrame, points: DataFrame, radiusM: Double, res: Int,
+                   qLatCol: String = "qlat", qLngCol: String = "qlng",
+                   latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
+    val dLat = radiusM / 110574.0
+    // worst-case meters-per-degree-longitude within the query's lat band
+    val qc = queries.withColumn("_coslat",
+      greatest(abs(cos(radians(col(qLatCol) - dLat))), abs(cos(radians(col(qLatCol) + dLat))),
+        // if the band crosses the equator the max cos is 1 — use least |lat|
+        when(signum(col(qLatCol) - dLat) =!= signum(col(qLatCol) + dLat), lit(1.0)).otherwise(lit(0.0))))
+    val dLngCol = lit(radiusM) / (lit(111320.0) *
+      when(col("_coslat") < lit(1e-6), lit(1e-6)).otherwise(col("_coslat")))
+    val qCells = qc
+      .withColumn("_cell", explode(cover_cells(box_wkb(
+        greatest(col(qLngCol) - dLngCol, lit(-180.0)),
+        greatest(col(qLatCol) - lit(dLat), lit(-90.0)),
+        least(col(qLngCol) + dLngCol, lit(180.0)),
+        least(col(qLatCol) + lit(dLat), lit(90.0))), res)))
+      .drop("_coslat")
+    val pts = points.withColumn("_cell", cell_encode(col(latCol), col(lngCol), res))
+    pts.join(broadcast(qCells), Seq("_cell"))
+      .where(haversine_m(col(qLatCol), col(qLngCol), col(latCol), col(lngCol)) <= lit(radiusM))
+      .drop("_cell")
+  }
+
+  /** kNN join via expanding k-ring search (SURVEY.md §2.3 J-row "kNN").
+    *
+    * The query side is dimension-sized (collected to the driver — documented
+    * contract; the points side stays fully distributed). Search: for ring
+    * radius r = 0, 1, 2, …, probe the cells at Chebyshev distance r around
+    * each unresolved query (each round is ONE distributed equi-join);
+    * a query resolves when its current k-th best distance is ≤ the minimum
+    * possible distance of anything in an unexplored ring (latitude-separation
+    * bound, safe at all longitudes). Falls back to a full scan for queries
+    * unresolved after `maxRings` (correct everywhere incl. poles).
+    *
+    * Output: query columns + point columns + `dist_m` + `knn_rank` (1..k),
+    * ties broken by `tieCol` ascending for determinism. */
+  def knnJoin(queries: DataFrame, points: DataFrame, k: Int, res: Int,
+              qKeyCol: String, tieCol: String,
+              qLatCol: String = "qlat", qLngCol: String = "qlng",
+              latCol: String = "lat", lngCol: String = "lng",
+              maxRings: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val qRows = queries.select(col(qKeyCol).cast("long"), col(qLatCol).cast("double"), col(qLngCol).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    require(qRows.nonEmpty, "empty query side")
+    val cellLatDeg = 180.0 / (1L << res).toDouble
+    val minCellLatMeters = cellLatDeg * 110574.0
+
+    val pts = points.withColumn("_cell", cell_encode(col(latCol), col(lngCol), res))
+      .cache() // re-probed every round; at scale this is the cell-indexed table itself
+
+    val distC = haversine_m(col("_qlat"), col("_qlng"), col(latCol), col(lngCol))
+    var unresolved = qRows.toSeq
+    var acc: DataFrame = null
+    var r = 0
+    while (unresolved.nonEmpty && r <= maxRings) {
+      val probe = unresolved.flatMap { case (qid, qlat, qlng) =>
+        Cell.ring(Cell.encode(qlat, qlng, res), r).map(c => (qid, qlat, qlng, c))
+      }.toDF("_qid", "_qlat", "_qlng", "_cell")
+      val cand = pts.join(broadcast(probe), Seq("_cell"))
+        .withColumn("_dist", distC)
+      acc = if (acc == null) cand else acc.unionByName(cand)
+      // keep only per-query top-k so the accumulator stays small
+      val w = Window.partitionBy($"_qid").orderBy($"_dist".asc, col(tieCol).asc)
+      acc = acc.withColumn("_rn", row_number().over(w)).where($"_rn" <= k).drop("_rn")
+        .localCheckpoint(eager = true) // truncate the growing lineage per round
+      // resolution check: a point outside rings ≤ r is ≥ (r) cell-widths
+      // away in lat OR lng grid coordinates (its cell is at Chebyshev
+      // distance ≥ r+1; worst case both points sit on facing cell edges).
+      val kth = acc.groupBy($"_qid").agg(count(lit(1)).as("n"), max($"_dist").as("kth"))
+        .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getDouble(2))).toMap
+      val latGuard = r.toDouble * minCellLatMeters // 110574 m/deg underestimates ⇒ conservative
+      unresolved = unresolved.filterNot { case (qid, qlat, _) =>
+        // longitude-only separation shrinks by cos(lat) — worst lat in band
+        val latBand = math.min(90.0, math.abs(qlat) + (r + 1) * cellLatDeg)
+        val lngMeters = r.toDouble * (360.0 / (1L << res).toDouble) * 110574.0 *
+          math.max(math.cos(math.toRadians(latBand)), 0.0)
+        val bound = math.min(latGuard, lngMeters)
+        kth.get(qid).exists { case (n, kd) => n >= k && kd <= bound }
+      }
+      r += 1
+    }
+    if (unresolved.nonEmpty) {
+      // exact fallback: full scan for the stragglers (poles/antimeridian)
+      val probe = unresolved.toDF("_qid", "_qlat", "_qlng")
+      val cand = pts.crossJoin(broadcast(probe)).withColumn("_dist", distC)
+      acc = acc.unionByName(cand.select(acc.columns.map(col): _*))
+    }
+    val w = Window.partitionBy($"_qid").orderBy($"_dist".asc, col(tieCol).asc)
+    acc.withColumn("knn_rank", row_number().over(w)).where($"knn_rank" <= k)
+      .withColumnRenamed("_qid", qKeyCol)
+      .withColumnRenamed("_dist", "dist_m")
+      .drop("_cell", "_qlat", "_qlng")
+  }
+}

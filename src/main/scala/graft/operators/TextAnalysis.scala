@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for web-text pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure `functions._`
+  * expressions — codegen'd, no UDFs, fully pushdown-transparent. */
+object TextAnalysis {
+
+  /** Whitespace-ish token count (non-empty runs of non-space chars). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => length(t) > 0))
+
+  /** BPE-ish subword count estimate: word tokens + extra splits at
+    * letter/digit and case boundaries (a cheap, deterministic proxy for a
+    * real tokenizer's token count — enough for length filtering). */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(split(text,
+      "\\s+|(?<=\\p{Ll})(?=\\p{Lu})|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
+      t => length(t) > 0))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Ratio of whitespace-delimited tokens that are in the stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+        .cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with")
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * some stopwords (the classic web-text quality heuristics, cf. C4/Gopher
+    * filtering rules — public methodology). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = when(nTok.between(5, 10000), lit(0.4)).otherwise(lit(0.0))
+    val punctScore = when(punctRatio(text) <= 0.2, lit(0.3)).otherwise(lit(0.0))
+    val stopScore = when(stopwordRatio(text, EnglishStopwords) >= 0.05, lit(0.3)).otherwise(lit(0.0))
+    round(lenScore + punctScore + stopScore, 1)
+  }
+
+  /** Per-language marker stopwords for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny by design. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "pl" -> Seq("i", "w", "z", "na", "jest"))
+
+  /** Language guess: the language whose marker set has the most hits among
+    * the text's tokens; ties and zero-hits resolve to "und" then
+    * lexicographic order (deterministic). */
+  def langGuess(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(size(array_intersect(array_distinct(toks),
+        array(markers.map(lit): _*))).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by (hits desc, lang asc): sort the struct array and take last
+    val best = element_at(array_sort(array(scored: _*),
+      (a, b) => when(a("hits") =!= b("hits"), a("hits") - b("hits"))
+        .otherwise(when(a("lang") < b("lang"), lit(1)).when(a("lang") > b("lang"), lit(-1)).otherwise(lit(0)))), -1)
+    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit document fingerprint: polynomial rolling hash over the token
+    * sequence (order-sensitive, whitespace-normalization-insensitive —
+    * the "document fingerprinting" primitive). */
+  def fingerprint64(text: Column): Column =
+    aggregate(Dedup.tokens(text), lit(1469598103934665603L),
+      (acc, t) => xxhash64(acc, t))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Wide-form boolean pivot — reference advanced_functions/wide_form.py.
+  *
+  * The reference pivots hierarchy columns into per-combination boolean
+  * columns with generated CASE SQL run in DuckDB
+  * (wide_form.py:128-143 for hierarchies, :297-311 for POI categories) and
+  * combines per-(theme,type) outputs with UNION ALL BY NAME + COALESCE
+  * (wide_form.py:1309-1367). In Spark this is a generated `Column` list —
+  * row-local, NO shuffle (this is *not* groupBy().pivot()).
+  */
+object WideForm {
+
+  /** F1 parity: the reference's `_combine_columns` STOPS at the first NULL
+    * hierarchy level (wide_form.py:464-471) — unlike Spark's `concat_ws`,
+    * which skips interior nulls. Fold: take levels while non-null. */
+  def nullStopConcat(sep: String, cols: Seq[Column]): Column = {
+    // build right-to-left: name_i = col_i is null ? "" : col_i + sep + rest
+    cols.foldRight(lit("")) { (c, rest) =>
+      when(c.isNull, lit("")).otherwise(
+        concat(lit(sep), c, rest))
+    }.substr(lit(sep.length + 1), lit(Int.MaxValue)) // drop leading sep
+  }
+
+  /** One boolean pivot column for a hierarchy combination — F2 parity:
+    * `COALESCE((h1 = 'v1' AND h2 = 'v2'), False)`, NULL levels compared
+    * with IS NULL (wide_form.py:128-143). */
+  def hierarchyPivotCol(levels: Seq[(String, Option[String])], colName: String): Column = {
+    val cond = levels.map {
+      case (c, Some(v)) => col(c) === lit(v)
+      case (c, None)    => col(c).isNull
+    }.reduce(_ && _)
+    coalesce(cond, lit(false)).as(colName)
+  }
+
+  /** Pivot a feature table on hierarchy columns: output keyCols + one
+    * boolean column per vocabulary entry named `theme|type|v1|v2…`
+    * (null-stop naming). `vocabulary`: the combinations to emit —
+    * release-stable when supplied (wide_form.py:438-461), or observed
+    * (distinct) when not. */
+  def pivotHierarchy(df: DataFrame, keyCols: Seq[String], prefix: Seq[String],
+                     hierarchyCols: Seq[String],
+                     vocabulary: Option[Seq[Seq[Option[String]]]] = None): DataFrame = {
+    val vocab: Seq[Seq[Option[String]]] = vocabulary.getOrElse {
+      df.select(hierarchyCols.map(col): _*).distinct().collect().toSeq
+        .map(r => hierarchyCols.indices.map(i => Option(r.get(i)).map(_.toString)))
+        .sortBy(_.map(_.getOrElse("")).mkString("|"))
+    }
+    val pivotCols = vocab.map { combo =>
+      // null-stop naming: drop levels at and after the first None
+      val visible = combo.takeWhile(_.isDefined).flatten
+      val name = (prefix ++ visible).mkString("|")
+      hierarchyPivotCol(hierarchyCols.zip(combo), name)
+    }
+    df.select(keyCols.map(col) ++ pivotCols: _*)
+  }
+
+  /** POI category pivot column — F3 parity: primary match OR (unless
+    * primaryOnly) alternate-array membership (wide_form.py:297-311). */
+  def categoryPivotCol(category: String, colName: String, primaryOnly: Boolean,
+                       primaryCol: Column, alternateCol: Column): Column = {
+    val cond =
+      if (primaryOnly) primaryCol === lit(category)
+      else primaryCol === lit(category) || array_contains(alternateCol, category)
+    coalesce(cond, lit(false)).as(colName)
+  }
+
+  /** U2 parity: UNION ALL BY NAME over per-type wide frames with missing
+    * boolean columns coalesced to false (wide_form.py:1309-1367). */
+  def combineWide(frames: Seq[DataFrame], nonBoolCols: Set[String]): DataFrame = {
+    val combined = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val boolCols = combined.schema.fields
+      .filter(f => !nonBoolCols.contains(f.name)).map(_.name)
+    combined.na.fill(false, boolCols)
+  }
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column↔Expression converters —
+  * the standard pattern for extension libraries (Sedona, Delta, etc. place
+  * one such shim in the org.apache.spark.sql package). Nothing else of
+  * Spark's internals is touched. */
+object graftbridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local SparkSession across all suites (Spark re-uses the
+  * active session via getOrCreate; suites run sequentially under sbt). */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.session
+  def sfDir: String = "/root/testdata/sf0.001"
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
