@@ -253,8 +253,11 @@ object SparkEntry {
     }),
 
     "d_lang_guess" -> ((s, d) => {
-      documents(s, d)
-        .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+      // tokenize once behind a barrier; 5 marker intersections read the array
+      val toks = documents(s, d)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("_toks")).cache()
+      toks.select(col("doc_id"),
+          TextAnalysis.langGuessFromTokens(col("_toks")).as("lang_guess"))
         .orderBy(col("doc_id"))
     }),
 

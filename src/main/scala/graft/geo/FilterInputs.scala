@@ -1,0 +1,81 @@
+package graft.geo
+
+/** F7–F10 parity: the geometry-filter input surface — every format the
+  * reference CLI accepts (overturemaestro/cli.py:86-280) parsed to WKB:
+  * bbox string, WKT, GeoJSON, geohash, native cell token, S2-style token.
+  * (Geocoding is network-bound and out of scope.) */
+object FilterInputs {
+
+  /** "xmin,ymin,xmax,ymax" → box polygon. */
+  def fromBboxString(s: String): Array[Byte] = {
+    val parts = s.split(",").map(_.trim.toDouble)
+    require(parts.length == 4, s"bbox needs 4 numbers, got ${parts.length}")
+    Wkb.box(parts(0), parts(1), parts(2), parts(3))
+  }
+
+  def fromWkt(wkt: String): Array[Byte] = Wkt.parse(wkt)
+
+  /** Geohash → its bbox polygon (reference _geohash_parser.py:28-58). */
+  def fromGeohash(gh: String): Array[Byte] = {
+    val (lngMin, latMin, lngMax, latMax) = Geohash.decodeBBox(gh)
+    Wkb.box(lngMin, latMin, lngMax, latMax)
+  }
+
+  /** Native cell id (hex) → cell bounds polygon (H3-filter analog, F8). */
+  def fromCellToken(hex: String): Array[Byte] =
+    Cell.boundaryWkb(java.lang.Long.parseUnsignedLong(hex, 16))
+
+  /** S2-style token → cell quadrilateral (F9). */
+  def fromS2Token(token: String): Array[Byte] = S2Like.tokenToPolygonWkb(token)
+
+  /** Minimal GeoJSON Polygon / MultiPolygon parser (no JSON lib offline —
+    * a tolerant recursive bracket parser over the coordinates member). */
+  def fromGeoJson(json: String): Array[Byte] = {
+    val typeRe = """"type"\s*:\s*"(\w+)"""".r
+    val geomType = typeRe.findFirstMatchIn(json)
+      .map(_.group(1)).filter(t => t == "Polygon" || t == "MultiPolygon")
+      .orElse(typeRe.findAllMatchIn(json).map(_.group(1))
+        .find(t => t == "Polygon" || t == "MultiPolygon"))
+      .getOrElse(throw new IllegalArgumentException("GeoJSON must contain a Polygon/MultiPolygon"))
+    val ci = json.indexOf("\"coordinates\"")
+    require(ci >= 0, "missing coordinates")
+    val start = json.indexOf('[', ci)
+    val coords = parseNested(json, start)._1
+    geomType match {
+      case "Polygon" =>
+        Wkb.writePolygon(ringsOf(coords))
+      case "MultiPolygon" =>
+        Wkb.writeMultiPolygon(coords.asInstanceOf[Seq[Any]].map(p => ringsOf(p)).toArray)
+    }
+  }
+
+  private def ringsOf(poly: Any): Array[Array[Double]] =
+    poly.asInstanceOf[Seq[Any]].map { ring =>
+      ring.asInstanceOf[Seq[Any]].flatMap { pt =>
+        val xy = pt.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double])
+        Seq(xy(0), xy(1))
+      }.toArray
+    }.toArray
+
+  /** Parses a nested JSON array of numbers starting at `[`; returns the
+    * structure (Seq of Seq/Double) and the index after the closing `]`. */
+  private def parseNested(s: String, from: Int): (Any, Int) = {
+    require(s.charAt(from) == '[')
+    var i = from + 1
+    val items = scala.collection.mutable.ArrayBuffer[Any]()
+    while (s.charAt(i) != ']') {
+      s.charAt(i) match {
+        case '[' =>
+          val (v, next) = parseNested(s, i)
+          items += v
+          i = next
+        case c if c.isWhitespace || c == ',' => i += 1
+        case _ =>
+          val end = s.indexWhere(ch => ch == ',' || ch == ']' || ch.isWhitespace, i)
+          items += s.substring(i, end).toDouble
+          i = end
+      }
+    }
+    (items.toSeq, i + 1)
+  }
+}

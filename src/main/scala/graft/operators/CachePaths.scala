@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.geo.Canonical
+
+/** F12 parity: deterministic result-cache paths.
+  *
+  * Reference scheme (overturemaestro/data_downloader.py:908-963; wide form
+  * overturemaestro/advanced_functions/wide_form.py:1192-1253):
+  *  - 8-char sha256 prefixes for the geometry hash, the stringified filter,
+  *    and the sorted column list;
+  *  - `_sorted` / `_compact` suffix by sink mode;
+  *  - multi-(theme,type) requests hash the SORTED pair list — order
+  *    independence is a tested semantic
+  *    (tests/base/advanced/test_wide_form.py:392-424).
+  */
+object CachePaths {
+
+  private def h8(s: String): String = Canonical.sha256Hex(s).take(8)
+
+  def resultPath(baseDir: String, release: String, theme: String, tpe: String,
+                 geometryWkb: Array[Byte],
+                 filterRepr: Option[String],
+                 columns: Option[Seq[String]],
+                 sorted: Boolean): String = {
+    val geomH = Canonical.geometryHash(geometryWkb).take(8)
+    val filterPart = filterRepr.map(f => s"_${h8(f)}").getOrElse("")
+    val colsPart = columns.map(cs => s"_${h8(cs.sorted.mkString(","))}").getOrElse("")
+    val sortPart = if (sorted) "_sorted" else "_compact"
+    s"$baseDir/$release/${theme}_${tpe}_$geomH$filterPart$colsPart$sortPart.parquet"
+  }
+
+  /** Order-independent hash over (theme, type) pairs (+ their per-pair
+    * params): pairs are sorted before hashing. */
+  def multiPairHash(pairs: Seq[(String, String)], perPairParams: Seq[String] = Nil): String = {
+    val paired =
+      if (perPairParams.isEmpty) pairs.map(p => s"${p._1}|${p._2}")
+      else pairs.zip(perPairParams).map { case ((t, ty), p) => s"$t|$ty|$p" }
+    h8(paired.sorted.mkString(";"))
+  }
+}

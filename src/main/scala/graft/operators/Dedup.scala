@@ -41,15 +41,21 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signatures: for each row, `numHashes` 64-bit min-hashes over
-    * its shingle set. One narrow pass (no shuffle): signature i =
-    * min over shingles of xxhash64(i, shingle). */
-  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column = {
-    val sh = shingles(text, shingleLen)
+  /** MinHash signature lanes over an ALREADY-MATERIALIZED shingle-array
+    * column: signature i = min over shingles of xxhash64(i, shingle).
+    * Callers must materialize the shingle column behind a plan barrier
+    * (cache/checkpoint) first — Catalyst's CollapseProject would otherwise
+    * inline the shingle subtree (regex splits!) into every one of the
+    * `numHashes` lanes, multiplying the tokenization cost ×numHashes. */
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
-  }
+
+  /** Convenience single-expression form (fine for one-off use; see the
+    * CollapseProject warning above for hot paths). */
+  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column =
+    minhashSignatureFromShingles(shingles(text, shingleLen), numHashes)
 
   /** MinHash + LSH banding near-dup candidate pairs, verified by estimated
     * Jaccard (fraction of matching signature positions).
@@ -67,8 +73,15 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("_id"),
-      minhashSignature(col(textCol), shingleLen, numHashes).as("_sig"))
+    // two materialization barriers (at 10^12 scale: checkpointed tables):
+    // 1. shingles — so the regex tokenization runs once, not ×numHashes
+    //    (CollapseProject would inline it into every hash lane);
+    // 2. signatures — reused by BOTH sides of the banded self-join.
+    val sh = df.select(col(idCol).as("_id"),
+      shingles(col(textCol), shingleLen).as("_sh")).cache()
+    val sig = sh.select(col("_id"),
+      minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
+      .cache()
     val banded = sig.withColumn("_band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("b"),
@@ -88,8 +101,14 @@ object Dedup {
   /** SimHash: 64-bit locality-sensitive fingerprint — bit i of the result is
     * the sign of Σ_tokens (2·bit_i(hash(token)) − 1). Pure expressions, one
     * narrow pass. Near-dups = small Hamming distance. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+
+  /** SimHash from a materialized token-hash array column — same
+    * CollapseProject caveat as minhashSignatureFromShingles: the 64 bit
+    * lanes each reference the array; materialize it behind a barrier so
+    * tokenization doesn't run ×64. */
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
       val s = aggregate(hashes, lit(0L),
         (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
@@ -106,7 +125,9 @@ object Dedup {
     * then verify exact Hamming ≤ maxHamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_fp"))
+    val th = df.select(col(idCol).as("_id"),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("_th")).cache()
+    val fp = th.select(col("_id"), simhashFromHashes(col("_th")).as("_fp")).cache()
     val quartered = fp.withColumn("_q", explode(array((0 until 4).map { q =>
       struct(lit(q).as("q"), shiftright(col("_fp"), q * 16).bitwiseAND(lit(0xffffL)).as("v"))
     }: _*)))
@@ -130,6 +151,7 @@ object Dedup {
     val ds = df.select(col(idCol).as("_id"),
         explode(shingles(col(textCol), shingleLen)).as("_sh"))
       .distinct()
+      .cache() // reused 3×: sizes, frequency filter, self-join (both sides)
     val sizes = ds.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val filtered = ds.join(
       ds.groupBy(col("_sh")).agg(count(lit(1)).as("_f"))

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque binary
+  * columns with typed metadata, and batched per-partition decode/feature
+  * extraction.
+  *
+  * The actual codec step is a clearly-marked deterministic STUB (no
+  * image/audio libraries in this container — see the build brief); the
+  * Spark-side plumbing is real: schema, typed Dataset, one decoder
+  * instance per partition (the batched-UDF seam the reference exposes as
+  * its pluggable per-row-group function,
+  * overturemaestro/_parquet_multiprocessing.py:136-146).
+  */
+object Multimodal {
+
+  case class MediaRow(id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
+                           width: Int, height: Int, features: Array[Float])
+
+  final val FeatureDim = 8
+
+  /** STUB decoder — stands in for a real image/audio codec. Deterministic
+    * from the payload bytes so tests are stable: "dimensions" from a byte
+    * hash, "features" from a rolling sum per stripe. A real deployment
+    * swaps ONLY this function (signature: whole-payload → features). */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    var h = 1125899906842597L
+    payload.foreach(b => h = h * 31 + (b & 0xff))
+    val width = 16 + math.floorMod(h, 240).toInt
+    val height = 16 + math.floorMod(h >> 8, 240).toInt
+    val features = new Array[Float](FeatureDim)
+    if (payload.nonEmpty) {
+      payload.indices.foreach { i =>
+        features(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+      }
+      features.indices.foreach(i => features(i) /= math.max(payload.length / FeatureDim, 1))
+    }
+    (width, height, features)
+  }
+
+  /** Batched decode: one decoder instance per partition, streaming over the
+    * rows (the mapPartitions seam — no per-row setup, no driver round-trip;
+    * swap `stubDecode` for a JNI/codec call at deployment). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition initialization of the (stub) decoder goes here
+      rows.map { r =>
+        val (w, h, f) = stubDecode(r.payload)
+        MediaFeatures(r.id, r.kind, r.payload.length, w, h, f)
+      }
+    }
+  }
+
+  /** DataFrame convenience: documents-style table → media table with the
+    * text bytes standing in for a decoded payload. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("id"), lit("text/utf-8").as("kind"),
+        to_binary(col("text"), lit("utf-8")).as("payload"))
+      .as[MediaRow]
+  }
+}

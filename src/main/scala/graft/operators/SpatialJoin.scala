@@ -155,10 +155,14 @@ object SpatialJoin {
       r += 1
     }
     if (unresolved.nonEmpty) {
-      // exact fallback: full scan for the stragglers (poles/antimeridian)
+      // exact fallback: full scan for the stragglers (poles/antimeridian).
+      // Their ring-probed partial candidates are dropped first — the full
+      // scan re-covers them (otherwise they'd appear twice).
       val probe = unresolved.toDF("_qid", "_qlat", "_qlng")
+      val unresolvedIds = unresolved.map(q => Long.box(q._1))
       val cand = pts.crossJoin(broadcast(probe)).withColumn("_dist", distC)
-      acc = acc.unionByName(cand.select(acc.columns.map(col): _*))
+      acc = acc.where(!col("_qid").isin(unresolvedIds: _*))
+        .unionByName(cand.select(acc.columns.map(col): _*))
     }
     val w = Window.partitionBy($"_qid").orderBy($"_dist".asc, col(tieCol).asc)
     acc.withColumn("knn_rank", row_number().over(w)).where($"knn_rank" <= k)

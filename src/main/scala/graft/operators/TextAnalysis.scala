@@ -62,8 +62,13 @@ object TextAnalysis {
   /** Language guess: the language whose marker set has the most hits among
     * the text's tokens; ties and zero-hits resolve to "und" then
     * lexicographic order (deterministic). */
-  def langGuess(text: Column): Column = {
-    val toks = Dedup.tokens(text)
+  def langGuess(text: Column): Column =
+    langGuessFromTokens(Dedup.tokens(text))
+
+  /** As langGuess, over a pre-tokenized array column (materialize it behind
+    * a cache/checkpoint barrier on hot paths — the 5 marker intersections
+    * would otherwise each re-run tokenization after CollapseProject). */
+  def langGuessFromTokens(toks: Column): Column = {
     val scored = LangMarkers.map { case (lang, markers) =>
       struct(size(array_intersect(array_distinct(toks),
         array(markers.map(lit): _*))).as("hits"), lit(lang).as("lang"))

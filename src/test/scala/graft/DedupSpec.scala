@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup operators vs brute-force oracles on a corpus WITH planted
+  * duplicates and near-duplicates. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vocab = Seq("spark", "query", "join", "filter", "table", "scan",
+    "merge", "sort", "group", "window", "stream", "batch", "row", "column",
+    "fast", "slow", "data", "key", "value", "hash")
+
+  /** 300 base docs + exact dups + near-dups (1-2 token edits). */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 300L).map { i =>
+      i -> (0 until 12 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val exactDups = (0 until 30).map(i => (1000L + i) -> base(i * 7 % 300)._2)
+    val nearDups = (0 until 30).map { i =>
+      val toks = base(i * 11 % 300)._2.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (2000L + i) -> toks.mkString(" ")
+    }
+    base ++ exactDups ++ nearDups
+  }
+
+  private lazy val docs = corpus.toDF("doc_id", "text")
+
+  private def jaccard(a: String, b: String, n: Int): Double = {
+    def sh(s: String) = s.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("exactDedupByHash finds every planted exact duplicate") {
+    val got = Dedup.exactDedupByHash(docs, "text", "doc_id")
+    val withDups = got.where($"dup_count" >= 2).count()
+    // ≥ the planted 30 (random collisions possible but none expected at n=300)
+    val textDups = corpus.groupBy(_._2).count(_._2.length >= 2)
+    assert(withDups == textDups)
+    assert(got.agg(sum($"dup_count")).as[Long].head() == corpus.size)
+  }
+
+  test("ngramJaccardPairs matches the brute-force pairwise oracle exactly") {
+    val thr = 0.5
+    val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleLen = 3, threshold = thr, maxShingleFreq = 100000)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exp = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus
+      if ia < ib && jaccard(ta, tb, 3) >= thr
+    } yield (ia, ib)).toSet
+    assert(got == exp)
+    assert(exp.size >= 30, s"oracle should contain the planted dups, got ${exp.size}")
+  }
+
+  test("minhashLshPairs recalls high-similarity pairs (est-jaccard agreement)") {
+    val got = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      shingleLen = 3, numHashes = 64, bands = 32, threshold = 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // every true pair with J >= 0.8 must be found (LSH at b=32,r=2 →
+    // P(detect) = 1-(1-J^2)^32 ≥ 0.999999 at J=0.8)
+    val mustFind = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus
+      if ia < ib && jaccard(ta, tb, 3) >= 0.8
+    } yield (ia, ib)).toSet
+    assert(mustFind.nonEmpty)
+    assert(mustFind.subsetOf(got),
+      s"missed ${(mustFind -- got).take(5)} of ${mustFind.size}")
+    // and nothing with true J < 0.2 sneaks past the est_jaccard >= 0.4 verify
+    val falsePos = got.filter { case (a, b) =>
+      jaccard(corpus.find(_._1 == a).get._2, corpus.find(_._1 == b).get._2, 3) < 0.2
+    }
+    assert(falsePos.isEmpty, s"false positives: ${falsePos.take(5)}")
+  }
+
+  test("simhash: exact duplicates collide; hamming to unrelated docs is large") {
+    val fps = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    // exact dup pairs → identical fingerprints
+    (0 until 30).foreach { i =>
+      assert(fps(1000L + i) == fps((i * 7 % 300).toLong))
+    }
+    // random doc pairs: mean hamming near 32 (independent bits)
+    val rnd = new scala.util.Random(3)
+    val hs = (0 until 200).map { _ =>
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      java.lang.Long.bitCount(fps(a) ^ fps(b))
+    }
+    val mean = hs.sum.toDouble / hs.size
+    assert(mean > 20 && mean < 44, s"mean hamming $mean")
+  }
+
+  test("simhashPairs finds near-dups within the hamming budget, exact-verified") {
+    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
+    // every returned pair ACTUALLY has hamming <= 10 (verify against scalar recompute)
+    val fps = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(fps(a) ^ fps(b)) == h && h <= 10)
+    }
+    // all exact-dup pairs (hamming 0) are present
+    assert((0 until 30).forall { i =>
+      val (a, b) = ((i * 7 % 300).toLong, 1000L + i)
+      got.exists(p => p._1 == a && p._2 == b)
+    })
+  }
+
+  test("tokens/shingles edge cases: empty text, single token, punctuation") {
+    val df = Seq((1L, ""), (2L, "word"), (3L, "a-b c!d"), (4L, "  x  ")).toDF("id", "text")
+    val rows = df.select($"id", Dedup.tokens($"text"), Dedup.shingles($"text", 3))
+      .as[(Long, Seq[String], Seq[String])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L) == ((Seq(), Seq())))
+    assert(rows(2L) == ((Seq("word"), Seq())))
+    assert(rows(3L)._1 == Seq("a", "b", "c", "d"))
+    assert(rows(3L)._2 == Seq("a b c", "b c d"))
+    assert(rows(4L) == ((Seq("x"), Seq())))
+  }
+}

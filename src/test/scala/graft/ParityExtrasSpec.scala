@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.geo._
+import graft.operators.{CachePaths, Multimodal, SortedSink}
+import java.nio.file.{Files, Paths}
+
+/** F6/F7/F8/F9/F12 + S7/S8 parity pieces. */
+class ParityExtrasSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- F6 canonical geometry hash ----
+  test("canonical hash invariant to ring orientation, start rotation, part order") {
+    val a = Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))") // CCW from (0,0)
+    val b = Wkt.parse("POLYGON ((4 4, 4 0, 0 0, 0 4, 4 4))") // CW, rotated start
+    assert(Canonical.geometryHash(a) == Canonical.geometryHash(b))
+    val m1 = Wkt.parse("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    val m2 = Wkt.parse("MULTIPOLYGON (((5 5, 6 5, 6 6, 5 6, 5 5)), ((0 0, 1 0, 1 1, 0 1, 0 0)))")
+    assert(Canonical.geometryHash(m1) == Canonical.geometryHash(m2))
+    // different geometry → different hash
+    val c = Wkt.parse("POLYGON ((0 0, 4 0, 4 4.0000002, 0 4, 0 0))")
+    assert(Canonical.geometryHash(a) != Canonical.geometryHash(c))
+    // rounding to 7 decimals: below-resolution jitter hashes equal
+    val d = Wkt.parse("POLYGON ((0 0, 4.00000001 0, 4 4, 0 4, 0 0))")
+    assert(Canonical.geometryHash(a) == Canonical.geometryHash(d))
+  }
+
+  // ---- F12 cache paths ----
+  test("cache path: deterministic, pair-order-independent multi hash") {
+    val g = Wkb.box(0, 0, 1, 1)
+    val p1 = CachePaths.resultPath("/c", "r1", "buildings", "building", g,
+      Some("confidence>0.75"), Some(Seq("b", "a")), sorted = true)
+    val p2 = CachePaths.resultPath("/c", "r1", "buildings", "building", g,
+      Some("confidence>0.75"), Some(Seq("a", "b")), sorted = true)
+    assert(p1 == p2) // column order irrelevant (sorted before hashing)
+    assert(p1.endsWith("_sorted.parquet"))
+    assert(CachePaths.multiPairHash(Seq("a" -> "x", "b" -> "y")) ==
+      CachePaths.multiPairHash(Seq("b" -> "y", "a" -> "x")))
+    assert(CachePaths.multiPairHash(Seq("a" -> "x")) !=
+      CachePaths.multiPairHash(Seq("a" -> "y")))
+  }
+
+  // ---- F7/F8/F9/F10 filter inputs ----
+  test("filter inputs: bbox string, geohash, native cell token, GeoJSON") {
+    val bb = FilterInputs.fromBboxString("7.41, 43.73, 7.42, 43.74")
+    assert(Wkb.envelope(bb) == ((7.41, 43.73, 7.42, 43.74)))
+    val gh = FilterInputs.fromGeohash("u")
+    assert(Wkb.envelope(gh) == ((0.0, 45.0, 45.0, 90.0)))
+    val cellTok = java.lang.Long.toHexString(Cell.encode(43.73, 7.42, 10))
+    val cb = FilterInputs.fromCellToken(cellTok)
+    assert(Wkb.containsPoint(cb, 7.42, 43.73))
+    val gj = FilterInputs.fromGeoJson(
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]],[[1,1],[2,1],[2,2],[1,2],[1,1]]]}}""")
+    assert(Wkb.containsPoint(gj, 3, 3) && !Wkb.containsPoint(gj, 1.5, 1.5))
+    val gjm = FilterInputs.fromGeoJson(
+      """{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]],[[[9,9],[10,9],[10,10],[9,9]]]]}""")
+    assert(Wkb.readPolygons(gjm).length == 2)
+  }
+
+  test("S2-style tokens: encode/decode self-consistency at several levels") {
+    val pts = Seq((43.73, 7.42), (-33.86, 151.2), (51.5, -0.1), (0.01, 0.01), (-80.0, 170.0))
+    for ((lat, lng) <- pts; lvl <- Seq(4, 10, 16)) {
+      val id = S2Like.latLngToId(lat, lng, lvl)
+      assert(S2Like.level(id) == lvl)
+      val token = S2Like.idToToken(id)
+      assert(S2Like.tokenToId(token) == id) // token roundtrip
+      // the cell quadrilateral contains the point (gnomonic cells are
+      // near-planar at lvl>=4 away from face edges — ray-cast in lat/lng ok)
+      val poly = S2Like.tokenToPolygonWkb(token)
+      assert(Wkb.containsPoint(poly, lng, lat), s"($lat,$lng) lvl=$lvl token=$token")
+      // re-encoding any interior sample at the same level gives the same id
+      val (xmin, ymin, xmax, ymax) = Wkb.envelope(poly)
+      assert(xmin < lng && lng < xmax && ymin < lat && lat < ymax)
+    }
+  }
+
+  // ---- multimodal plumbing ----
+  test("multimodal decode: typed dataset, deterministic stub features") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.decodeFeatures(media).cache()
+    assert(feats.count() == docs.count())
+    val f = feats.filter(_.id == 0L).head()
+    assert(f.kind == "text/utf-8" && f.n_bytes > 0 && f.features.length == Multimodal.FeatureDim)
+    // deterministic: same payload → same features on recompute
+    val f2 = Multimodal.decodeFeatures(media).filter(_.id == 0L).head()
+    assert(f.features.toSeq == f2.features.toSeq && f.width == f2.width)
+    // schema carries typed metadata
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("id", "kind", "n_bytes", "width", "height", "features"))
+  }
+
+  // ---- S8 sorted sink invariants ----
+  test("hilbert-sorted sink: schema + row count preserved, file strictly smaller") {
+    val pts = sources.DerivedTables.pages(spark, sfDir).select("page_id", "lat", "lng")
+    val base = "/root/repo/target/sink_test"
+    // unsorted baseline in random-ish (hash) order to make clustering matter
+    SortedSink.writeCompact(pts.repartition(4, col("page_id")), s"$base/plain")
+    SortedSink.writeHilbertSorted(pts, s"$base/sorted", "lat", "lng",
+      extent = (-180, -60, 180, 60), numFiles = 4)
+    val plain = spark.read.parquet(s"$base/plain")
+    val sorted = spark.read.parquet(s"$base/sorted")
+    assert(sorted.schema == plain.schema)
+    assert(sorted.count() == plain.count())
+    def bytes(p: String): Long = Files.list(Paths.get(p)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet")).map(Files.size).sum
+    assert(bytes(s"$base/sorted") < bytes(s"$base/plain"),
+      s"sorted=${bytes(s"$base/sorted")} plain=${bytes(s"$base/plain")}")
+  }
+}

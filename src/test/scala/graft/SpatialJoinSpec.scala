@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SpatialJoin
+import graft.geo.{Geo, Wkb}
+
+/** Join correctness against brute-force oracles on a SKEWED synthetic
+  * fixture (80% of points clustered around 5 "megacity" centers — the
+  * skew shape the north rule calls out). */
+class SpatialJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic clustered points: 5 city centers + uniform background
+  private lazy val pts: Seq[(Long, Double, Double)] = {
+    val rnd = new scala.util.Random(42)
+    val cities = Seq((51.5, -0.1), (40.7, -74.0), (35.7, 139.7), (-33.9, 151.2), (48.9, 2.3))
+    (0L until 4000L).map { i =>
+      if (i % 5 != 0) { // 80% clustered
+        val (clat, clng) = cities((i % cities.length).toInt)
+        (i, clat + rnd.nextGaussian() * 0.2, clng + rnd.nextGaussian() * 0.2)
+      } else
+        (i, rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 360 - 180)
+    }
+  }
+
+  // polygons: boxes around the cities (overlapping) + a triangle + one with a hole
+  private lazy val polyRows: Seq[(Long, Array[Byte])] = Seq(
+    0L -> Wkb.box(-1.1, 50.9, 0.9, 52.1),
+    1L -> Wkb.box(-75.0, 39.9, -73.0, 41.5),
+    2L -> Wkb.box(139.0, 35.0, 140.5, 36.4),
+    3L -> Wkb.writePolygon(Array(Array[Double](150.0, -35.0, 152.5, -34.9, 151.2, -32.5, 150.0, -35.0))),
+    4L -> Wkb.writePolygon(Array(
+      Array[Double](1.0, 47.9, 3.6, 47.9, 3.6, 49.9, 1.0, 49.9, 1.0, 47.9),
+      Array[Double](2.0, 48.5, 2.6, 48.5, 2.6, 49.1, 2.0, 49.1, 2.0, 48.5))), // hole over Paris
+    5L -> Wkb.box(-0.5, 51.0, 0.5, 52.0)) // overlaps poly 0
+
+  private lazy val points = pts.toDF("pid", "lat", "lng")
+  private lazy val polys = polyRows.toDF("poly_id", "geometry")
+
+  private lazy val oracle: Set[(Long, Long)] = (for {
+    (pid, lat, lng) <- pts
+    (gid, wkb) <- polyRows
+    if Wkb.containsPoint(wkb, lng, lat)
+  } yield (gid, pid)).toSet
+
+  test("pointsInPolygons (broadcast) matches the brute-force oracle row-for-row") {
+    val got = SpatialJoin.pointsInPolygons(points, polys, res = 6)
+      .select($"poly_id", $"pid").as[(Long, Long)].collect().toSet
+    assert(got == oracle)
+    assert(oracle.nonEmpty)
+    // the hole actually excludes points: poly 4 has fewer matches than its outer box
+    val outerOnly = pts.count { case (_, lat, lng) => lng > 1.0 && lng < 3.6 && lat > 47.9 && lat < 49.9 }
+    assert(oracle.count(_._1 == 4L) < outerOnly)
+  }
+
+  test("salted shuffle join path gives identical results (skew handling)") {
+    val got = SpatialJoin.pointsInPolygons(points, polys, res = 6,
+      broadcastPolys = false, salt = 4)
+      .select($"poly_id", $"pid").as[(Long, Long)].collect().toSet
+    assert(got == oracle)
+  }
+
+  test("resolution choice does not change results (5, 7, 9)") {
+    for (res <- Seq(5, 7, 9)) {
+      val got = SpatialJoin.pointsInPolygons(points, polys, res = res)
+        .select($"poly_id", $"pid").as[(Long, Long)].collect().toSet
+      assert(got == oracle, s"mismatch at res=$res")
+    }
+  }
+
+  test("knnJoin matches brute-force top-k (skewed data, query near and far from clusters)") {
+    val queries = Seq((0L, 51.4, -0.2), (1L, 0.0, 0.0), (2L, 35.8, 139.6), (3L, -80.0, 170.0))
+      .toDF("q_id", "qlat", "qlng")
+    val k = 7
+    val got = SpatialJoin.knnJoin(queries, points, k = k, res = 7,
+      qKeyCol = "q_id", tieCol = "pid")
+      .select($"q_id", $"knn_rank", $"pid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val exp = Seq((0L, 51.4, -0.2), (1L, 0.0, 0.0), (2L, 35.8, 139.6), (3L, -80.0, 170.0)).map {
+      case (qid, qlat, qlng) =>
+        qid -> pts.map { case (pid, lat, lng) => (Geo.haversineM(qlat, qlng, lat, lng), pid) }
+          .sortBy(identity).take(k).map(_._2)
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("distanceJoin matches brute-force radius filter") {
+    val queries = Seq((0L, 51.5, -0.1), (1L, 35.7, 139.7)).toDF("q_id", "qlat", "qlng")
+    val r = 150000.0
+    val got = SpatialJoin.distanceJoin(queries, points, radiusM = r, res = 6)
+      .select($"q_id", $"pid").as[(Long, Long)].collect().toSet
+    val exp = (for {
+      (qid, qlat, qlng) <- Seq((0L, 51.5, -0.1), (1L, 35.7, 139.7))
+      (pid, lat, lng) <- pts
+      if Geo.haversineM(qlat, qlng, lat, lng) <= r
+    } yield (qid, pid)).toSet
+    assert(got == exp)
+    assert(exp.size > 100) // clusters make this non-trivial
+  }
+
+  test("broadcast join plan has no shuffle on the points side") {
+    val plan = SpatialJoin.pointsInPolygons(points, polys, res = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only exchange is the broadcast of the polygon side
+    assert(!plan.contains("ShuffleExchange"), plan)
+  }
+}

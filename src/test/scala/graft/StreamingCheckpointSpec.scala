@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+/** Structured Streaming parity (windowed agg over the events table matches
+  * the batch result) + checkpoint/resume semantics. */
+class StreamingCheckpointSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming windowed agg == batch windowed agg on the events table") {
+    // FileStreamSource needs a directory, not a single file
+    val streamDir = Paths.get("/root/repo/target/stream_events")
+    Files.createDirectories(streamDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), streamDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("cents"))
+    val qname = "ev_stream_out"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qname)
+      .select(unix_timestamp(col("window.start")).as("bucket"), col("event_type"), col("n"), col("cents"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val exp = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(unix_timestamp(col("window.start")).as("bucket"), col("event_type"), col("n"), col("cents"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+  }
+
+  test("checkpoint stage: second run skips recompute (manifest-gated resume)") {
+    val base = "/root/repo/target/ckpt_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    var builds = 0
+    def build = {
+      builds += 1
+      spark.read.parquet(s"$sfDir/nation.parquet").select($"n_nationkey", $"n_name")
+    }
+    val a = graft.operators.Checkpoint.stage(spark, base, "stage1")(build)
+    assert(builds == 1 && a.count() == 25)
+    assert(graft.operators.Checkpoint.isComplete(base, "stage1"))
+    val b = graft.operators.Checkpoint.stage(spark, base, "stage1")(build)
+    assert(builds == 1, "resume must not re-run the stage") // skipped
+    assert(b.count() == 25)
+    // manifest carries per-partition lineage metrics
+    val manifest = Files.readString(Paths.get(base, "stage1", "_MANIFEST.json"))
+    assert(manifest.contains("\"complete\":true") && manifest.contains("\"partitions\""))
+    assert(manifest.contains("\"rows\""))
+  }
+}
