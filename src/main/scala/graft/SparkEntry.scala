@@ -127,6 +127,50 @@ object SparkEntry {
       part(s, d).select((col("p_partkey") +: pivots): _*).orderBy(col("p_partkey"))
     }),
 
+    "q_rollup" -> ((s, d) => {
+      // grouping sets (rollup) over the 2-level region/nation hierarchy
+      supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(cents(col("s_acctbal"))).as("acctbal_cents"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_except" -> ((s, d) => {
+      // nations with customers but no suppliers
+      customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+        .except(supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_wide_combine" -> ((s, d) => {
+      // U2 parity e2e: two per-"type" wide frames → unionByName + fill(false)
+      val p = part(s, d)
+      val a = WideForm.pivotHierarchy(p.where(col("p_size") <= 25), Seq("p_partkey"),
+        Seq("small"), Seq("p_type"), vocabulary = Some(Seq(Seq(Some("ECONOMY")), Seq(Some("STANDARD")))))
+      val b = WideForm.pivotHierarchy(p.where(col("p_size") > 25), Seq("p_partkey"),
+        Seq("large"), Seq("p_type"), vocabulary = Some(Seq(Seq(Some("ECONOMY")), Seq(Some("PROMO")))))
+      WideForm.combineWide(Seq(a, b), nonBoolCols = Set("p_partkey"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_nullstop_concat" -> ((s, d) => {
+      // F1 stop-at-first-NULL fold (nulls manufactured via nullif)
+      part(s, d).select(col("p_partkey"),
+        WideForm.nullStopConcat("|", Seq(
+          col("p_brand"),
+          nullif(col("p_type"), lit("ECONOMY")),
+          col("p_name"))).as("wide_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ===== spatial: bbox / PIP / tiles / cells / joins / kNN / range =====
     "s_bbox_filter" -> ((s, d) => {
       // P1 strict-inequality bbox predicate over the page points
@@ -193,6 +237,34 @@ object SparkEntry {
         broadcastPolys = false, salt = 8)
         .select(col("poly_id"), col("page_id"))
         .orderBy(col("poly_id"), col("page_id"))
+    }),
+
+    "s_join_rect_adaptive" -> ((s, d) => {
+      // adaptive cell-splitting path (megacity-cell skew handling)
+      SpatialJoin.pointsInPolygonsAdaptive(pages(s, d), polygons(s, d), res = 4,
+        hotThreshold = 2000, splitLevels = 2)
+        .select(col("poly_id"), col("page_id"))
+        .orderBy(col("poly_id"), col("page_id"))
+    }),
+
+    "s_index_prune" -> ((s, d) => {
+      // index-driven pruning e2e (J1/S4 analog): build index, prune by a
+      // polygon filter's cell cover, exact refine
+      val pts = pages(s, d)
+      val idx = CellIndex.build(pts, res = 4)
+      CellIndex.filterPoints(pts, idx, PentagonWkb, res = 4)
+        .select(col("page_id"), col("lat"), col("lng"))
+        .orderBy(col("page_id"))
+    }),
+
+    "m_multimodal_decode" -> ((s, d) => {
+      // typed-Dataset batched decode (stub codec; rows-only check +
+      // determinism spec in ParityExtrasSpec)
+      Multimodal.decodeFeatures(
+        Multimodal.mediaFromDocuments(documents(s, d)))
+        .toDF()
+        .select(col("id"), col("n_bytes"), col("width"), col("height"))
+        .orderBy(col("id"))
     }),
 
     "s_knn" -> ((s, d) => {
@@ -448,6 +520,59 @@ object SparkEntry {
         |  coalesce(p_brand = 'Brand#4', false) AS "part|brand#4",
         |  coalesce(p_brand = 'Brand#5', false) AS "part|brand#5"
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+        |  sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1""".stripMargin,
+
+    "q_except" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier ORDER BY 1""".stripMargin,
+
+    "q_wide_combine" ->
+      """SELECT p_partkey,
+        |  coalesce("small|ECONOMY", false) AS "small|ECONOMY",
+        |  coalesce("small|STANDARD", false) AS "small|STANDARD",
+        |  coalesce("large|ECONOMY", false) AS "large|ECONOMY",
+        |  coalesce("large|PROMO", false) AS "large|PROMO"
+        |FROM (
+        |  SELECT p_partkey,
+        |    coalesce(p_type = 'ECONOMY', false) AS "small|ECONOMY",
+        |    coalesce(p_type = 'STANDARD', false) AS "small|STANDARD"
+        |  FROM part WHERE p_size <= 25
+        |  UNION ALL BY NAME
+        |  SELECT p_partkey,
+        |    coalesce(p_type = 'ECONOMY', false) AS "large|ECONOMY",
+        |    coalesce(p_type = 'PROMO', false) AS "large|PROMO"
+        |  FROM part WHERE p_size > 25)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_nullstop_concat" ->
+      """SELECT p_partkey,
+        |  p_brand || CASE WHEN p_type = 'ECONOMY' THEN ''
+        |                  ELSE '|' || p_type || '|' || p_name END AS wide_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s_join_rect_adaptive" ->
+      s"""WITH $P, $POLY
+         |SELECT y.poly_id, p.page_id FROM pages p
+         |JOIN polys y ON p.lng > y.xmin AND p.lng < y.xmax AND p.lat > y.ymin AND p.lat < y.ymax
+         |ORDER BY y.poly_id, p.page_id""".stripMargin,
+
+    "s_index_prune" ->
+      s"""WITH $P
+         |SELECT page_id, lat, lng FROM pages
+         |WHERE $pentagonInteriorSql
+         |ORDER BY page_id""".stripMargin,
 
     "s_bbox_filter" ->
       s"""WITH $P

@@ -64,6 +64,51 @@ object SpatialJoin {
       .drop("_cell", "_salt")
   }
 
+  /** Adaptive cell-splitting join (north rule: "salted repartitioning AND
+    * adaptive cell-splitting"): cells whose point count exceeds
+    * `hotThreshold` (megacity cells) are re-encoded `splitLevels` finer, so
+    * a hot coarse cell's rows spread across 4^splitLevels join keys while
+    * the polygon side only replicates its cover INSIDE hot cells. Results
+    * are identical to the plain join (proven in SpatialJoinSpec); the win
+    * is shuffle-partition balance when the polygon side is too big to
+    * broadcast. Cost: one extra aggregate over the points (at 100 TB this
+    * statistic comes from the cell index, not a fresh scan — pass
+    * `cellCounts` to reuse it). */
+  def pointsInPolygonsAdaptive(points: DataFrame, polys: DataFrame, res: Int,
+                               hotThreshold: Long, splitLevels: Int = 2,
+                               latCol: String = "lat", lngCol: String = "lng",
+                               geomCol: String = "geometry",
+                               broadcastPolys: Boolean = false,
+                               cellCounts: Option[DataFrame] = None): DataFrame = {
+    val fineRes = res + splitLevels
+    val pts = points.withColumn("_cell", cell_encode(col(latCol), col(lngCol), res))
+    val counts = cellCounts.getOrElse(
+      pts.groupBy(col("_cell")).agg(count(lit(1)).as("_n")))
+    val hot = counts.where(col("_n") > hotThreshold).select(col("_cell"))
+    // split the points: hot cells re-encode at fineRes, cold stay at res
+    val flagged = pts.join(broadcast(hot.withColumn("_hot", lit(true))), Seq("_cell"), "left")
+      .withColumn("_jcell",
+        when(col("_hot").isNotNull, cell_encode(col(latCol), col(lngCol), fineRes))
+          .otherwise(col("_cell")))
+      .drop("_hot")
+    // polygon side: coarse cover everywhere + fine cover inside hot cells
+    val polyCoarse = polys
+      .withColumn("_cell", explode(cover_cells(col(geomCol), res)))
+      .join(broadcast(hot.withColumn("_hot", lit(true))), Seq("_cell"), "left")
+    val polyCold = polyCoarse.where(col("_hot").isNull)
+      .withColumn("_jcell", col("_cell")).drop("_hot")
+    val polyHot = polyCoarse.where(col("_hot").isNotNull)
+      .withColumn("_fine", explode(cover_cells(col(geomCol), fineRes)))
+      // keep only fine cells whose coarse ancestor is this hot cell
+      .where(cell_parent(col("_fine"), res) === col("_cell"))
+      .withColumn("_jcell", col("_fine")).drop("_hot", "_fine")
+    val polyCells = polyCold.unionByName(polyHot)
+    val rhs = if (broadcastPolys) broadcast(polyCells) else polyCells
+    flagged.join(rhs.drop("_cell"), Seq("_jcell"))
+      .where(ray_cast_contains(col(geomCol), col(lngCol), col(latCol)))
+      .drop("_jcell", "_cell")
+  }
+
   /** Distance (range) join: pairs (query, point) with haversine distance
     * <= radiusM. Query side is expected dimension-sized (broadcast).
     * Plan: per query, cover the radius-expanded bbox with cells at `res`,

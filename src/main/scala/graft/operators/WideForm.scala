@@ -68,6 +68,25 @@ object WideForm {
     coalesce(cond, lit(false)).as(colName)
   }
 
+  class NegativeHierarchyDepthError(msg: String) extends IllegalArgumentException(msg)
+
+  /** Depth check/clip parity (reference wide_form.py:63-82): None → max
+    * depth; negative → error; above max → clip (the reference warns; we
+    * log). */
+  def checkDepth(theme: String, tpe: String, hierarchyColumns: Seq[String],
+                 depth: Option[Int]): Int = {
+    val d = depth.getOrElse(hierarchyColumns.length)
+    if (d < 0)
+      throw new NegativeHierarchyDepthError("Hierarchy depth cannot be negative")
+    else if (d > hierarchyColumns.length) {
+      System.err.println(
+        s"[wide-form] Provided hierarchy depth is out of bounds (valid for " +
+          s"$theme/$tpe: 0 - ${hierarchyColumns.length}). Value will be clipped " +
+          s"to ${hierarchyColumns.length}.")
+      hierarchyColumns.length
+    } else d
+  }
+
   /** U2 parity: UNION ALL BY NAME over per-type wide frames with missing
     * boolean columns coalesced to false (wide_form.py:1309-1367). */
   def combineWide(frames: Seq[DataFrame], nonBoolCols: Set[String]): DataFrame = {

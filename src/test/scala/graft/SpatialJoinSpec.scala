@@ -68,6 +68,18 @@ class SpatialJoinSpec extends SparkTestBase {
     }
   }
 
+  test("adaptive cell-splitting join: identical results, hot cells split finer") {
+    val got = SpatialJoin.pointsInPolygonsAdaptive(points, polys, res = 4,
+      hotThreshold = 50, splitLevels = 2)
+      .select($"poly_id", $"pid").as[(Long, Long)].collect().toSet
+    assert(got == oracle)
+    // sanity: the skew fixture actually has hot cells at res 4
+    val hotCount = points
+      .groupBy(graft.functions.geofunctions.cell_encode($"lat", $"lng", 4))
+      .count().where($"count" > 50).count()
+    assert(hotCount >= 3, s"fixture should be skewed, hot cells = $hotCount")
+  }
+
   test("knnJoin matches brute-force top-k (skewed data, query near and far from clusters)") {
     val queries = Seq((0L, 51.4, -0.2), (1L, 0.0, 0.0), (2L, 35.8, 139.6), (3L, -80.0, 170.0))
       .toDF("q_id", "qlat", "qlng")
