@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geo.{FilterInputs, Wkb}
+import graft.operators.{Pipeline, SortedSink}
+
+/** spark-submit CLI — the reference's argument surface (§3.3,
+  * overturemaestro/cli.py:340-713) over the engine pipeline:
+  *
+  *   spark-submit --class graft.Cli engine.jar \
+  *     --input /path/pages.parquet \
+  *     [--geom-filter-bbox x1,y1,x2,y2 | --geom-filter-wkt WKT |
+  *      --geom-filter-geojson JSON | --geom-filter-geohash gh |
+  *      --geom-filter-cell hex | --geom-filter-s2 token]        (≤ 1)
+  *     [--filter "col,op,value"]...      (AND-folded, cli.py:691-695)
+  *     [--columns a,b,c]                 (auto-adds id+geometry, P4)
+  *     [--sort]                          (Hilbert-sorted sink, S8)
+  *     --output /path/out.parquet
+  *
+  * Mutually-exclusive geometry options reproduce the reference's check
+  * (cli.py:628-655); multiple --filter flags AND-fold like repeated
+  * pyarrow filters.
+  */
+object Cli {
+
+  case class Args(input: String = null, output: String = null,
+                  geom: Option[(String, Array[Byte])] = None,
+                  filters: Seq[(String, String, Any)] = Nil,
+                  columns: Option[Seq[String]] = None,
+                  sort: Boolean = false,
+                  latCol: String = "lat", lngCol: String = "lng")
+
+  def parseArgs(argv: Array[String]): Args = {
+    var a = Args()
+    def setGeom(kind: String, wkb: Array[Byte]): Unit = {
+      a.geom.foreach { case (k, _) =>
+        throw new IllegalArgumentException(
+          s"provided more than one geometry filter ($k and $kind) — pass exactly one")
+      }
+      a = a.copy(geom = Some(kind -> wkb))
+    }
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--input" => a = a.copy(input = argv(i + 1)); i += 2
+        case "--output" => a = a.copy(output = argv(i + 1)); i += 2
+        case "--geom-filter-bbox" => setGeom("bbox", FilterInputs.fromBboxString(argv(i + 1))); i += 2
+        case "--geom-filter-wkt" => setGeom("wkt", FilterInputs.fromWkt(argv(i + 1))); i += 2
+        case "--geom-filter-geojson" => setGeom("geojson", FilterInputs.fromGeoJson(argv(i + 1))); i += 2
+        case "--geom-filter-geohash" => setGeom("geohash", FilterInputs.fromGeohash(argv(i + 1))); i += 2
+        case "--geom-filter-cell" => setGeom("cell", FilterInputs.fromCellToken(argv(i + 1))); i += 2
+        case "--geom-filter-s2" => setGeom("s2", FilterInputs.fromS2Token(argv(i + 1))); i += 2
+        case "--filter" =>
+          val parts = argv(i + 1).split(",", 3)
+          require(parts.length == 3, s"--filter needs col,op,value: '${argv(i + 1)}'")
+          val value: Any = parts(2) match {
+            case v if v.matches("[-+]?\\d+") => v.toLong
+            case v if v.matches("[-+]?\\d*\\.\\d+") => v.toDouble
+            case v => v
+          }
+          a = a.copy(filters = a.filters :+ ((parts(0), parts(1), value))); i += 2
+        case "--columns" => a = a.copy(columns = Some(argv(i + 1).split(",").toSeq)); i += 2
+        case "--sort" => a = a.copy(sort = true); i += 1
+        case "--lat-col" => a = a.copy(latCol = argv(i + 1)); i += 2
+        case "--lng-col" => a = a.copy(lngCol = argv(i + 1)); i += 2
+        case other => throw new IllegalArgumentException(s"unknown argument '$other'")
+      }
+    }
+    require(a.input != null, "--input is required")
+    require(a.output != null, "--output is required")
+    a
+  }
+
+  /** Builds the conversion DataFrame (separated from main for testability). */
+  def run(spark: SparkSession, a: Args): DataFrame = {
+    var df = spark.read.parquet(a.input)
+    // ensure id/geometry/bbox exist (pages tables carry points; features
+    // tables carry their own geometry + bbox struct)
+    if (!df.columns.contains("id"))
+      df = df.withColumn("id", col(df.columns.head).cast("string"))
+    if (!df.columns.contains("geometry"))
+      df = df.withColumn("geometry",
+        graft.functions.GeomConstructors.box_wkb(
+          col(a.lngCol), col(a.latCol), col(a.lngCol), col(a.latCol)))
+    if (!df.columns.contains("bbox"))
+      df = df.withColumn("bbox", struct(
+        col(a.lngCol).as("xmin"), col(a.latCol).as("ymin"),
+        col(a.lngCol).as("xmax"), col(a.latCol).as("ymax")))
+    val filtered = a.geom match {
+      case Some((_, wkb)) =>
+        Pipeline.convertGeometryWkb(df, wkb,
+          predicate = if (a.filters.nonEmpty) Some(Seq(a.filters)) else None,
+          columns = a.columns, latCol = a.latCol, lngCol = a.lngCol)
+      case None =>
+        var out = df
+        if (a.filters.nonEmpty) out = out.where(Pipeline.compileFilter(Seq(a.filters)))
+        a.columns.map(cs => Pipeline.projectWithAutoKeys(out, cs)).getOrElse(out)
+    }
+    filtered
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = run(spark, a)
+    if (a.sort) {
+      val env = a.geom.map { case (_, w) => Wkb.envelope(w) }.getOrElse((-180.0, -90.0, 180.0, 90.0))
+      SortedSink.writeHilbertSorted(out, a.output, a.latCol, a.lngCol, env)
+    } else SortedSink.writeCompact(out, a.output)
+    println(s"wrote ${spark.read.parquet(a.output).count()} rows to ${a.output}")
+    spark.stop()
+  }
+}

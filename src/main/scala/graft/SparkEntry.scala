@@ -341,6 +341,14 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "d_vocab" -> ((s, d) => {
+      // A3 analog: DISTINCT over an unnested (exploded) collection
+      documents(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("token"))
+    }),
+
     "d_minhash_pairs" -> ((s, d) => {
       // MinHash+LSH near-dup candidates (hash fn engine-specific → rows-only
       // check here; exactness vs brute force in DedupSpec)
@@ -679,6 +687,12 @@ object SparkEntry {
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "d_lang_guess" -> langGuessSql,
+
+    "d_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS token
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_jaccard_pairs" ->
       """WITH toks AS (

@@ -96,8 +96,13 @@ object Pipeline {
   def convertGeometry(features: DataFrame, filterWkt: String,
                       predicate: Option[Seq[Seq[(String, String, Any)]]] = None,
                       columns: Option[Seq[String]] = None,
-                      latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
-    val fWkb = Wkt.parse(filterWkt)
+                      latCol: String = "lat", lngCol: String = "lng"): DataFrame =
+    convertGeometryWkb(features, Wkt.parse(filterWkt), predicate, columns, latCol, lngCol)
+
+  def convertGeometryWkb(features: DataFrame, fWkb: Array[Byte],
+                         predicate: Option[Seq[Seq[(String, String, Any)]]] = None,
+                         columns: Option[Seq[String]] = None,
+                         latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
     val (xmin, ymin, xmax, ymax) = Wkb.envelope(fWkb)
     var out = features.where(bboxOverlapPredicate(col("bbox"), xmin, ymin, xmax, ymax))
     if (!isRectangle(fWkb))

@@ -1,0 +1,62 @@
+package graft
+
+import graft.geo.Wkb
+
+/** CLI argument surface (§3.3 parity: mutual exclusion, AND-folded filters,
+  * projection, geometry formats). */
+class CliSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pagesPath: String = {
+    val p = "/root/repo/target/cli_pages"
+    if (!new java.io.File(s"$p/_SUCCESS").exists())
+      sources.DerivedTables.pages(spark, sfDir).write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("mutually exclusive geometry filters rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.parseArgs(Array("--input", "x", "--output", "y",
+        "--geom-filter-bbox", "0,0,1,1", "--geom-filter-geohash", "u"))
+    }
+    assert(e.getMessage.contains("more than one geometry filter"))
+  }
+
+  test("unknown argument rejected; filter parsing types values") {
+    intercept[IllegalArgumentException] {
+      Cli.parseArgs(Array("--nope"))
+    }
+    val a = Cli.parseArgs(Array("--input", "i", "--output", "o",
+      "--filter", "lang,==,en", "--filter", "page_id,>,1000"))
+    assert(a.filters == Seq(("lang", "==", "en"), ("page_id", ">", 1000L)))
+  }
+
+  test("bbox + filters + columns end-to-end equals the direct pipeline") {
+    val a = Cli.parseArgs(Array(
+      "--input", pagesPath, "--output", "unused",
+      "--geom-filter-bbox", "10.00005,20.00005,30.00005,40.00005",
+      "--filter", "lang,==,en",
+      "--columns", "lat,lng,lang"))
+    val got = Cli.run(spark, a)
+    // bbox path short-circuits refine (P5): plain strict bbox + predicate
+    val exp = sources.DerivedTables.pages(spark, sfDir)
+      .where($"lng" > 10.00005 && $"lng" < 30.00005 && $"lat" > 20.00005 && $"lat" < 40.00005)
+      .where($"lang" === "en")
+    assert(got.count() == exp.count())
+    assert(exp.count() > 0)
+    // projection auto-added id + geometry
+    assert(got.columns.contains("id") && got.columns.contains("geometry"))
+    assert(got.columns.toSet.intersect(Set("lat", "lng", "lang")) == Set("lat", "lng", "lang"))
+  }
+
+  test("geohash and s2 geometry formats run end-to-end") {
+    for (geomArgs <- Seq(
+      Array("--geom-filter-geohash", "6"), // lng [-135,-90], lat [0,45] — overlaps pages extent
+      Array("--geom-filter-s2", graft.geo.S2Like.idToToken(
+        graft.geo.S2Like.latLngToId(30.0, -100.0, 4))))) {
+      val a = Cli.parseArgs(Array("--input", pagesPath, "--output", "unused") ++ geomArgs)
+      val n = Cli.run(spark, a).count()
+      assert(n > 0, s"${geomArgs(0)} produced no rows")
+    }
+  }
+}
