@@ -68,6 +68,27 @@ object WideForm {
     coalesce(cond, lit(false)).as(colName)
   }
 
+  /** P6 parity: POI quality predicate — categories present AND confidence
+    * at/above threshold (reference wide_form.py:208-228; default 0.75 at
+    * advanced_functions/functions.py:135). */
+  final val DefaultMinimalConfidence = 0.75
+  def poiQualityPredicate(minimalConfidence: Double = DefaultMinimalConfidence): Column =
+    col("categories").isNotNull && col("confidence") >= lit(minimalConfidence)
+
+  /** F4 parity: wide-boolean bitset compression — bool columns → a compact
+    * int-list (indexes of set bits) before an expensive sort, and back
+    * (reference wide_form.py:1698-1756; the reference does this to shrink
+    * DuckDB's sort payload — cheap to keep for output-size experiments). */
+  def compressBools(boolCols: Seq[String]): Column =
+    array_compact(array(boolCols.zipWithIndex.map { case (c, i) =>
+      when(col(c), lit(i)).otherwise(lit(null).cast("int"))
+    }: _*)).as("column_indexes")
+
+  def decompressBools(indexesCol: Column, boolCols: Seq[String]): Seq[Column] =
+    boolCols.zipWithIndex.map { case (c, i) =>
+      array_contains(indexesCol, i).as(c)
+    }
+
   class NegativeHierarchyDepthError(msg: String) extends IllegalArgumentException(msg)
 
   /** Depth check/clip parity (reference wide_form.py:63-82): None → max

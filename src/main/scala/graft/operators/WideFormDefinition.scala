@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The per-(theme, type) wide-form extension point — Scala-trait form of
+  * the reference's `WideFormDefinition` dataclass of callables
+  * (overturemaestro/advanced_functions/wide_form.py:567-600, with
+  * release-versioned overrides at 603-616).
+  *
+  * Each instance knows: which columns to read, an optional extra download
+  * predicate, and how to pivot a downloaded frame into `keyCols + boolean
+  * columns` named `theme|type|…`. */
+trait WideFormDefinition {
+  def theme: String
+  def tpe: String
+  /** hierarchy columns, coarse → fine */
+  def hierarchyColumns: Seq[String]
+  /** columns required from the scan (P4 auto-adds id + geometry). */
+  def downloadColumns: Seq[String] = hierarchyColumns
+  /** extra pushdown predicate ANDed into the scan (P6 for places). */
+  def downloadPredicate: Option[Column] = None
+  /** the pivot: frame → keyCols + boolean wide columns. */
+  def pivot(df: DataFrame, keyCols: Seq[String], depth: Option[Int]): DataFrame
+}
+
+/** Hierarchy-value pivot (buildings/base/divisions style —
+  * wide_form.py:85-167). */
+case class HierarchyWideForm(theme: String, tpe: String,
+                             override val hierarchyColumns: Seq[String])
+    extends WideFormDefinition {
+  override def pivot(df: DataFrame, keyCols: Seq[String], depth: Option[Int]): DataFrame = {
+    val d = WideForm.checkDepth(theme, tpe, hierarchyColumns, depth)
+    val cols = hierarchyColumns.take(d)
+    if (cols.isEmpty)
+      df.select(keyCols.map(col) :+ lit(true).as(s"$theme|$tpe"): _*)
+    else
+      WideForm.pivotHierarchy(df, keyCols, Seq(theme, tpe), cols)
+  }
+}
+
+/** POI category pivot (places — wide_form.py:170-335): one boolean column
+  * per category, true when primary matches or (unless primaryOnly) the
+  * alternate list contains it; rows pre-filtered by the quality predicate. */
+case class PoiWideForm(theme: String = "places", tpe: String = "place",
+                       categories: Seq[String] = Nil,
+                       primaryOnly: Boolean = false,
+                       minimalConfidence: Double = WideForm.DefaultMinimalConfidence)
+    extends WideFormDefinition {
+  override def hierarchyColumns: Seq[String] = Seq("categories")
+  override def downloadColumns: Seq[String] = Seq("categories", "confidence")
+  override def downloadPredicate: Option[Column] =
+    Some(WideForm.poiQualityPredicate(minimalConfidence))
+  override def pivot(df: DataFrame, keyCols: Seq[String], depth: Option[Int]): DataFrame = {
+    val vocab =
+      if (categories.nonEmpty) categories
+      else df.select(col("categories.primary").as("c"))
+        .union(df.select(explode_outer(col("categories.alternate")).as("c")))
+        .where(col("c").isNotNull)
+        .distinct().orderBy(col("c")).collect().map(_.getString(0)).toSeq
+    val pivots = vocab.map { c =>
+      WideForm.categoryPivotCol(c, s"$theme|$tpe|$c", primaryOnly,
+        col("categories.primary"), col("categories.alternate"))
+    }
+    df.where(downloadPredicate.get).select(keyCols.map(col) ++ pivots: _*)
+  }
+}

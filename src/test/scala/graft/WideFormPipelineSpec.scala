@@ -56,6 +56,59 @@ class WideFormPipelineSpec extends SparkTestBase {
     assert(got.map(_.getBoolean(2)).toSeq == Seq(false, true)) // x|q
   }
 
+  test("F3 POI category pivot + P6 quality filter (PoiWideForm)") {
+    val df = Seq(
+      ("a", 0.99, "museum", Seq("cafe")),
+      ("b", 0.50, "museum", Seq[String]()), // below confidence → dropped
+      ("c", 0.99, "cafe", Seq("museum", "bar")),
+      ("d", 0.99, null.asInstanceOf[String], null.asInstanceOf[Seq[String]]))
+      .toDF("id", "confidence", "p", "alt")
+      .select($"id", $"confidence",
+        when($"p".isNotNull, struct($"p".as("primary"), $"alt".as("alternate")))
+          .otherwise(lit(null)).as("categories"))
+    val wf = operators.PoiWideForm(categories = Seq("bar", "cafe", "museum"))
+    val out = wf.pivot(df, Seq("id"), None).orderBy($"id")
+    assert(out.columns.toSeq == Seq("id", "places|place|bar", "places|place|cafe", "places|place|museum"))
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(rows == Map(
+      "a" -> ((false, true, true)),   // primary museum + alternate cafe
+      "c" -> ((true, true, true))))   // primary cafe + alternates museum, bar
+    // primary-only variant ignores alternates
+    val po = operators.PoiWideForm(categories = Seq("bar", "cafe", "museum"), primaryOnly = true)
+    val rows2 = po.pivot(df, Seq("id"), None).orderBy($"id").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(rows2 == Map("a" -> ((false, false, true)), "c" -> ((false, true, false))))
+    // primary-only ⇒ exactly one true per row (reference row-sum invariant)
+    rows2.values.foreach { case (x, y, z) => assert(Seq(x, y, z).count(identity) == 1) }
+  }
+
+  test("F4 bitset compress/decompress roundtrip") {
+    val bools = Seq("b0", "b1", "b2")
+    val df = Seq((1L, true, false, true), (2L, false, false, false))
+      .toDF("id", "b0", "b1", "b2")
+    val compressed = df.select($"id", operators.WideForm.compressBools(bools))
+    val sizes = compressed.orderBy($"id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+    assert(sizes == Seq(Seq(0, 2), Seq()))
+    val back = compressed.select(($"id" +: operators.WideForm.decompressBools($"column_indexes", bools)): _*)
+    assert(back.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+  }
+
+  test("depth check: None→max, clip above, negative→error (HierarchyWideForm)") {
+    assert(operators.WideForm.checkDepth("t", "y", Seq("a", "b"), None) == 2)
+    assert(operators.WideForm.checkDepth("t", "y", Seq("a", "b"), Some(5)) == 2) // clipped
+    assert(operators.WideForm.checkDepth("t", "y", Seq("a", "b"), Some(1)) == 1)
+    intercept[operators.WideForm.NegativeHierarchyDepthError] {
+      operators.WideForm.checkDepth("t", "y", Seq("a"), Some(-1))
+    }
+    // depth 0 → single all-true theme|type column
+    val df = Seq(("1", "water", "river")).toDF("id", "subtype", "class")
+    val out = operators.HierarchyWideForm("base", "water", Seq("subtype", "class"))
+      .pivot(df, Seq("id"), Some(0))
+    assert(out.columns.toSeq == Seq("id", "base|water"))
+    assert(out.head().getBoolean(1))
+  }
+
   test("P2 predicate compiler: DNF with nested columns") {
     val df = Seq(
       ("a", 0.99, "museum"), ("b", 0.5, "museum"), ("c", 0.99, "cafe"))
