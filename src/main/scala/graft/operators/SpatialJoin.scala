@@ -171,10 +171,14 @@ object SpatialJoin {
     val distC = haversine_m(col("_qlat"), col("_qlng"), col(latCol), col(lngCol))
     var unresolved = qRows.toSeq
     var acc: DataFrame = null
-    var r = 0
+    var r = 0          // first unprobed ring
+    var batchRings = 1 // geometric batching: 1, 2, 4, … rings per round
     while (unresolved.nonEmpty && r <= maxRings) {
+      val rEnd = math.min(r + batchRings - 1, maxRings)
       val probe = unresolved.flatMap { case (qid, qlat, qlng) =>
-        Cell.ring(Cell.encode(qlat, qlng, res), r).map(c => (qid, qlat, qlng, c))
+        val qcell = Cell.encode(qlat, qlng, res)
+        (r to rEnd).flatMap(rr => Cell.ring(qcell, rr)).distinct
+          .map(c => (qid, qlat, qlng, c))
       }.toDF("_qid", "_qlat", "_qlng", "_cell")
       val cand = pts.join(broadcast(probe), Seq("_cell"))
         .withColumn("_dist", distC)
@@ -188,16 +192,17 @@ object SpatialJoin {
       // distance ≥ r+1; worst case both points sit on facing cell edges).
       val kth = acc.groupBy($"_qid").agg(count(lit(1)).as("n"), max($"_dist").as("kth"))
         .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getDouble(2))).toMap
-      val latGuard = r.toDouble * minCellLatMeters // 110574 m/deg underestimates ⇒ conservative
+      val latGuard = rEnd.toDouble * minCellLatMeters // 110574 m/deg underestimates ⇒ conservative
       unresolved = unresolved.filterNot { case (qid, qlat, _) =>
         // longitude-only separation shrinks by cos(lat) — worst lat in band
-        val latBand = math.min(90.0, math.abs(qlat) + (r + 1) * cellLatDeg)
-        val lngMeters = r.toDouble * (360.0 / (1L << res).toDouble) * 110574.0 *
+        val latBand = math.min(90.0, math.abs(qlat) + (rEnd + 1) * cellLatDeg)
+        val lngMeters = rEnd.toDouble * (360.0 / (1L << res).toDouble) * 110574.0 *
           math.max(math.cos(math.toRadians(latBand)), 0.0)
         val bound = math.min(latGuard, lngMeters)
         kth.get(qid).exists { case (n, kd) => n >= k && kd <= bound }
       }
-      r += 1
+      r = rEnd + 1
+      batchRings *= 2
     }
     if (unresolved.nonEmpty) {
       // exact fallback: full scan for the stragglers (poles/antimeridian).

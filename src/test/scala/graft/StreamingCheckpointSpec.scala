@@ -39,6 +39,37 @@ class StreamingCheckpointSpec extends SparkTestBase {
     assert(exp.nonEmpty)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches the batch window query") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{Event, SessionOut}
+    // run the stateful operator in a micro-batch stream over the events table
+    val streamDir = Paths.get("/root/repo/target/stream_events2")
+    Files.createDirectories(streamDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), streamDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val evStream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .as[Event]
+    val q = StreamOps.sessionize(evStream)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val closed = spark.table("sess_out").as[SessionOut].collect().toSet
+
+    // batch oracle: the ev_sessionize window query, minus each user's LAST
+    // session (still open in the stream's state)
+    val batch = SparkEntry.queries("ev_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("session_id") - 1, col("n_events"), col("value_cents"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, s, n, c) => SessionOut(u, s, n, c) }
+    val lastPerUser = batch.groupBy(_.user_id).view.mapValues(_.map(_.session_id).max).toMap
+    val expClosed = batch.filterNot(s => lastPerUser(s.user_id) == s.session_id).toSet
+    assert(closed == expClosed)
+    assert(closed.nonEmpty)
+  }
+
   test("checkpoint stage: second run skips recompute (manifest-gated resume)") {
     val base = "/root/repo/target/ckpt_test"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
