@@ -88,7 +88,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "1024").toInt
+    val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "512").toInt
 
     // ---- per-query timings at local[cpus] ----
     var spark = session(cpus)
@@ -111,7 +111,7 @@ object Bench {
     val times = ladder.map { c =>
       val s = if (c == cpus) spark else session(c)
       runForced(flagship(s, inputPath, sfDir)) // JIT/page-cache warmup
-      val t = Seq.fill(2)(time(runForced(flagship(s, inputPath, sfDir)))).min
+      val t = Seq.fill(3)(time(runForced(flagship(s, inputPath, sfDir)))).min
       s.stop()
       c -> t
     }.toMap
