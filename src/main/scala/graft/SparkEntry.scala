@@ -406,6 +406,21 @@ object SparkEntry {
         .orderBy(col("bucket"), col("event_type"))
     }),
 
+    "ev_asof" -> ((s, d) => {
+      // as-of join: each purchase matched to the user's latest prior-or-
+      // equal signup (microsecond precision; union-and-carry plan)
+      val ev = events(s, d).withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us").as("signup_us"), col("event_id").as("signup_id"))
+      AsOfJoin.asof(purchases, signups, Seq("user_id"),
+        leftTime = "ts_us", rightTime = "signup_us", valueCols = Seq("signup_id"))
+        .select(col("event_id"), col("user_id"), col("asof_time").as("signup_us"),
+          col("asof_signup_id").as("signup_id"))
+        .orderBy(col("event_id"))
+    }),
+
     "ev_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       events(s, d)
@@ -736,6 +751,16 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, event_type,
         |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT user_id, epoch_us(ts) AS signup_us, event_id AS signup_id FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT p.event_id, p.user_id, s.signup_us, s.signup_id
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_us >= s.signup_us
+        |ORDER BY p.event_id""".stripMargin,
 
     "ev_sessionize" ->
       """WITH g AS (
