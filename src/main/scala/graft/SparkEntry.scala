@@ -127,6 +127,16 @@ object SparkEntry {
       part(s, d).select((col("p_partkey") +: pivots): _*).orderBy(col("p_partkey"))
     }),
 
+    "q_percentile" -> ((s, d) => {
+      // continuous percentiles (linear interpolation) over exact cents
+      orders(s, d).join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)").as("p50"),
+          expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)").as("p90"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q_rollup" -> ((s, d) => {
       // grouping sets (rollup) over the 2-level region/nation hierarchy
       supplier(s, d)
@@ -543,6 +553,13 @@ object SparkEntry {
         |  coalesce(p_brand = 'Brand#4', false) AS "part|brand#4",
         |  coalesce(p_brand = 'Brand#5', false) AS "part|brand#5"
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT c_mktsegment,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_suppliers,
