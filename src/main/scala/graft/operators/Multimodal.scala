@@ -55,6 +55,39 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(id: Long, kind: String, width: Int, height: Int,
+                          payload: Array[Byte])
+  case class Frame(id: Long, frame_no: Int, offset: Int, payload: Array[Byte])
+
+  /** STUB resize: deterministic byte-domain downscale to a target "pixel"
+    * budget (stride sampling). Real deployment swaps the body for a codec
+    * resize; the Spark shape (typed mapPartitions, bounded output size)
+    * is the real part. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val stride = math.max(1, r.payload.length / math.max(targetBytes, 1))
+        val out = r.payload.indices.by(stride).map(r.payload).toArray
+        val (w, h, _) = stubDecode(out)
+        ResizedMedia(r.id, r.kind, w, h, out)
+      }
+    }
+  }
+
+  /** STUB frame sampling: every `everyBytes`-th slice becomes a "frame"
+    * row (video frame-sample analog: one input row → N frame rows, the
+    * flatMap batch shape). */
+  def sampleFrames(media: Dataset[MediaRow], everyBytes: Int, frameLen: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      Iterator.range(0, math.max(r.payload.length, 1), math.max(everyBytes, 1))
+        .zipWithIndex.map { case (off, i) =>
+          Frame(r.id, i, off, r.payload.slice(off, math.min(off + frameLen, r.payload.length)))
+        }
+    }
+  }
+
   /** DataFrame convenience: documents-style table → media table with the
     * text bytes standing in for a decoded payload. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {

@@ -90,6 +90,38 @@ class ParityExtrasSpec extends SparkTestBase {
       Seq("id", "kind", "n_bytes", "width", "height", "features"))
   }
 
+  test("multimodal resize + frame-sample stubs: shapes and determinism") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val resized = Multimodal.resize(media, targetBytes = 32).cache()
+    assert(resized.count() == 50)
+    resized.collect().foreach { r =>
+      assert(r.payload.length <= 64, s"resize overshoot: ${r.payload.length}")
+      assert(r.payload.nonEmpty)
+    }
+    val frames = Multimodal.sampleFrames(media, everyBytes = 40, frameLen = 16).cache()
+    // one input row fans out to ceil(len/40) frames
+    val byId = frames.collect().groupBy(_.id)
+    val lens = media.collect().map(m => m.id -> m.payload.length).toMap
+    byId.foreach { case (id, fs) =>
+      assert(fs.length == math.max((lens(id) + 39) / 40, 1))
+      assert(fs.forall(_.payload.length <= 16))
+      assert(fs.map(_.frame_no).sorted.toSeq == (0 until fs.length))
+    }
+  }
+
+  test("S2 level-0 face cells match the documented S2 token anchors") {
+    // in real S2, the six level-0 face cells have tokens 1,3,5,7,9,b and
+    // contain the face-center directions
+    val anchors = Seq(
+      (0.0, 0.0, "1"), (0.0, 90.0, "3"), (89.9, 0.0, "5"),
+      (0.0, 180.0, "7"), (0.0, -90.0, "9"), (-89.9, 0.0, "b"))
+    anchors.foreach { case (lat, lng, token) =>
+      assert(S2Like.idToToken(S2Like.latLngToId(lat, lng, 0)) == token,
+        s"face cell for ($lat,$lng)")
+    }
+  }
+
   // ---- S8 sorted sink invariants ----
   test("hilbert-sorted sink: schema + row count preserved, file strictly smaller") {
     val pts = sources.DerivedTables.pages(spark, sfDir).select("page_id", "lat", "lng")
