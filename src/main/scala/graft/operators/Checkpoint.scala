@@ -60,4 +60,44 @@ object Checkpoint {
 
   def isComplete(baseDir: String, key: String): Boolean =
     Files.exists(Paths.get(baseDir, key, "_MANIFEST.json"))
+
+  /** Partition-granular resume — the 10^12-scale form (north rule:
+    * "resumable from checkpoint with per-partition lineage + metrics").
+    *
+    * The stage's output is hive-partitioned by `partitionCol` (e.g. the
+    * coarse cell prefix). A sidecar `_PARTS.json` records each completed
+    * partition value with its row count. A re-run:
+    *   1. reads the manifest, 2. restricts the build to the MISSING
+    *   partition values only — the predicate prunes all the way up the
+    *   lineage when the source shares the partitioning — 3. appends them,
+    *   4. merges the manifest.
+    * Partition values must be stringable (long cell prefixes, dates…). */
+  def stageByPartition(spark: SparkSession, baseDir: String, key: String,
+                       partitionCol: String, allPartitions: Seq[Long])
+                      (build: Seq[Long] => DataFrame): DataFrame = {
+    val outDir = Paths.get(baseDir, key)
+    val partsFile = outDir.resolve("_PARTS.json")
+    val done: Map[Long, Long] =
+      if (Files.exists(partsFile))
+        Files.readString(partsFile).split("\n").filter(_.nonEmpty).map { line =>
+          val Array(p, n) = line.split(","); p.toLong -> n.toLong
+        }.toMap
+      else Map.empty
+    val missing = allPartitions.filterNot(done.contains)
+    if (missing.nonEmpty) {
+      Files.createDirectories(outDir)
+      val fresh = build(missing)
+      fresh.write.mode("append").partitionBy(partitionCol).parquet(outDir.toString)
+      // lineage metrics for the partitions just completed
+      // hive partition dirs read back with inferred (int) type — normalize
+      val counts = spark.read.parquet(outDir.toString)
+        .where(col(partitionCol).cast("long").isin(missing.map(Long.box): _*))
+        .groupBy(col(partitionCol).cast("long").as("_p")).agg(count(lit(1)).as("rows"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val merged = done ++ missing.map(p => p -> counts.getOrElse(p, 0L))
+      Files.writeString(partsFile,
+        merged.toSeq.sortBy(_._1).map { case (p, n) => s"$p,$n" }.mkString("\n"))
+    }
+    spark.read.parquet(outDir.toString)
+  }
 }

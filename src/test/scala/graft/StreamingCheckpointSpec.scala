@@ -70,6 +70,37 @@ class StreamingCheckpointSpec extends SparkTestBase {
     assert(closed.nonEmpty)
   }
 
+  test("partition-granular resume: only missing cell prefixes are rebuilt") {
+    import graft.functions.geofunctions._
+    val base = "/root/repo/target/ckpt_parts"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val pts = sources.DerivedTables.pages(spark, sfDir)
+      .select($"page_id", $"lat", $"lng")
+      .withColumn("prefix", cell_parent(cell_encode($"lat", $"lng", 8), 2))
+    val allPrefixes = pts.select($"prefix").distinct().as[Long].collect().toSeq.sorted
+    assert(allPrefixes.size >= 4)
+    var buildCalls = Seq.empty[Seq[Long]]
+    def build(missing: Seq[Long]) = {
+      buildCalls :+= missing
+      pts.where($"prefix".isin(missing.map(Long.box): _*))
+    }
+    // first run: everything missing
+    val (firstHalf, rest) = allPrefixes.splitAt(2)
+    graft.operators.Checkpoint.stageByPartition(spark, base, "geo", "prefix", firstHalf)(build)
+    assert(buildCalls == Seq(firstHalf))
+    // second run over ALL prefixes: only the remainder is built
+    val out = graft.operators.Checkpoint.stageByPartition(spark, base, "geo", "prefix", allPrefixes)(build)
+    assert(buildCalls == Seq(firstHalf, rest))
+    assert(out.count() == pts.count())
+    // third run: nothing missing, build not called again
+    graft.operators.Checkpoint.stageByPartition(spark, base, "geo", "prefix", allPrefixes)(build)
+    assert(buildCalls.size == 2)
+    // manifest carries per-partition row counts that sum to the total
+    val manifest = Files.readString(Paths.get(base, "geo", "_PARTS.json"))
+    val total = manifest.split("\n").map(_.split(",")(1).toLong).sum
+    assert(total == pts.count())
+  }
+
   test("checkpoint stage: second run skips recompute (manifest-gated resume)") {
     val base = "/root/repo/target/ckpt_test"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
