@@ -85,6 +85,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Re-populate the OS page cache for the bench input (raw sequential
+    * read, no JVM object churn). This VM's page cache is ~10 GB and a
+    * growing driver heap can evict the input mid-ladder, flipping a leg
+    * from cached (~2 s) to disk-bound (~40 s) — round 1's 2-core leg hit
+    * exactly that, making the 2→8 efficiency read 1.198 (invalid). Warming
+    * before EACH leg pins both legs to the cached regime. */
+  private def warmPageCache(dir: String): Unit = {
+    val buf = new Array[Byte](1 << 20)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val in = new java.io.FileInputStream(f)
+      try { while (in.read(buf) >= 0) () } finally in.close()
+    }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -107,14 +126,17 @@ object Bench {
     // the 2→8 pair is the bandwidth-valid reading of the N→4N criterion;
     // both pairs are reported. See BENCH/BASELINE.md.
     val (inputPath, inputRows) = materializeInput(spark, sfDir, rep)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER_REPS", "5").toInt
     val ladder = Seq(cpus, cpus / 4, cpus / 16).filter(_ >= 1).distinct
-    val times = ladder.map { c =>
+    val legTimes: Map[Int, Seq[Double]] = ladder.map { c =>
       val s = if (c == cpus) spark else session(c)
-      runForced(flagship(s, inputPath, sfDir)) // JIT/page-cache warmup
-      val t = Seq.fill(3)(time(runForced(flagship(s, inputPath, sfDir)))).min
+      warmPageCache(inputPath)                 // pin the cached-read regime
+      runForced(flagship(s, inputPath, sfDir)) // JIT warmup (untimed)
+      val ts = Seq.fill(reps)(time(runForced(flagship(s, inputPath, sfDir))))
       s.stop()
-      c -> t
+      c -> ts
     }.toMap
+    val times = legTimes.map { case (c, ts) => c -> median(ts) }
 
     val effPairs = ladder.sliding(2).collect {
       case Seq(hi, lo) if hi == lo * 4 =>
@@ -123,9 +145,10 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
-    val thrFields = ladder.map(c =>
-      s""""pages_per_sec_${c}c":${f"${inputRows / times(c)}%.0f"},"t_${c}c_sec":${f"${times(c)}%.3f"}""")
-      .mkString(",")
+    val thrFields = ladder.map { c =>
+      val ts = legTimes(c).map(t => f"$t%.3f").mkString("[", ",", "]")
+      s""""pages_per_sec_${c}c":${f"${inputRows / times(c)}%.0f"},"t_${c}c_sec":${f"${times(c)}%.3f"},"t_${c}c_reps":$ts"""
+    }.mkString(",")
     val effFields = effPairs.map { case (lo, hi, e) =>
       s""""scaling_efficiency_${lo}to$hi":${f"$e%.3f"}"""
     }.mkString(",")
@@ -133,6 +156,10 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""flagship":{"job":"spatial_join_tile_assign","input_rows":$inputRows,""" +
         thrFields + (if (effFields.nonEmpty) "," + effFields else "") + "}}"
+    // file copy for the driver (stdout may be wrapped by the build tool)
+    val outDir = java.nio.file.Paths.get("/root/repo/BENCH")
+    java.nio.file.Files.createDirectories(outDir)
+    java.nio.file.Files.writeString(outDir.resolve("last_run.json"), json + "\n")
     println(json)
   }
 }

@@ -495,14 +495,14 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_topk" ->
       """SELECT l_orderkey,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -511,7 +511,7 @@ object SparkEntry {
 
     "q5_multijoin" ->
       """SELECT r_name, n_name,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  count(*) AS n_rows
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -563,7 +563,7 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_suppliers,
-        |  sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -766,7 +766,7 @@ object SparkEntry {
 
     "ev_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, event_type,
-        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_asof" ->
@@ -791,6 +791,6 @@ object SparkEntry {
         |  FROM g
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

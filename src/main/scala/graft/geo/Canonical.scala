@@ -4,15 +4,24 @@ import java.security.MessageDigest
 
 /** F6 parity: canonical geometry form + hash for cache keys.
   *
-  * Reference algorithm (overturemaestro/data_downloader.py:967-1023):
-  *  - orient every ring CCW (holes too, after orient the polygon is
-  *    normalized with exterior CCW / interiors CW via shapely's
-  *    `orient(polygon)` — we reproduce exterior CCW, holes CW);
-  *  - rotate each ring's start point to the lexicographically smallest
-  *    (x, y) coordinate;
-  *  - round coordinates to 7 decimals;
-  *  - sort multipolygon parts by centroid;
-  *  - sha256 of the resulting WKT.
+  * Exact mirror of the reference's `_get_oriented_geometry_filter` +
+  * `_generate_geometry_hash` (overturemaestro/data_downloader.py:967-1023):
+  *  - EVERY ring (exterior AND holes) oriented CCW (`is_ccw` ⇔ signed
+  *    area > 0; reversed otherwise);
+  *  - each ring rotated to start at its lexicographically smallest (x, y)
+  *    vertex — chosen on the RAW coordinates, matching the reference's
+  *    `min(perimeter)` before rounding;
+  *  - coordinates rounded to 7 decimals (round-half-even, same as Python
+  *    `round`) when the canonical ring is emitted;
+  *  - interior rings sorted by the (rounded) ring's LINE centroid
+  *    (length-weighted — shapely `LinearRing.centroid`), x then y;
+  *  - multipolygon parts sorted by the (rounded) polygon's AREA centroid
+  *    (holes subtracted — shapely `Polygon.centroid`), x then y;
+  *  - WKT emitted in shapely `wkt.dumps` format (fixed 16 decimal places)
+  *    and sha256-hashed; callers take the first 8 hex chars.
+  *
+  * Byte-for-byte parity with the reference's pinned cache-path hashes is
+  * asserted in CanonicalParitySpec (tests/base/test_cli.py fixtures).
   */
 object Canonical {
 
@@ -65,38 +74,107 @@ object Canonical {
     out
   }
 
-  private def canonicalRing(r: Array[Double], ccw: Boolean): Array[Double] = {
-    val rounded = r.map(round7)
-    val oriented =
-      if (signedArea(rounded) > 0 == ccw) rounded else reverse(rounded)
-    rotateToMin(oriented)
+  /** Reference ring canonicalization: orient CCW (raw), rotate to the raw
+    * min vertex, round to 7 decimals at emit. */
+  private def canonicalRing(r: Array[Double]): Array[Double] = {
+    val oriented = if (signedArea(r) > 0) r else reverse(r)
+    rotateToMin(oriented).map(round7)
   }
 
-  private def centroid(rings: Array[Array[Double]]): (Double, Double) = {
-    // vertex centroid of the outer ring (stable, cheap; used only as a sort key)
-    val r = rings(0)
+  /** Length-weighted centroid of a closed ring's boundary line —
+    * shapely `LinearRing.centroid` (the reference's interior-ring sort key). */
+  private[geo] def lineCentroid(r: Array[Double]): (Double, Double) = {
     val n = r.length / 2 - 1
-    var sx = 0.0; var sy = 0.0
-    for (i <- 0 until n) { sx += r(2 * i); sy += r(2 * i + 1) }
-    (sx / n, sy / n)
+    var len = 0.0; var sx = 0.0; var sy = 0.0
+    var i = 0
+    while (i < n) {
+      val x1 = r(2 * i); val y1 = r(2 * i + 1)
+      val x2 = r(2 * i + 2); val y2 = r(2 * i + 3)
+      val l = math.hypot(x2 - x1, y2 - y1)
+      len += l
+      sx += (x1 + x2) / 2 * l
+      sy += (y1 + y2) / 2 * l
+      i += 1
+    }
+    if (len == 0) (r(0), r(1)) else (sx / len, sy / len)
   }
 
-  /** Canonical WKT of an areal (or point) WKB geometry. */
+  /** Area centroid of a polygon with holes — shapely `Polygon.centroid`
+    * (the reference's multipolygon part sort key). Orientation-invariant:
+    * moments are normalized by each ring's signed area's sign; holes
+    * subtract. */
+  private[geo] def areaCentroid(rings: Array[Array[Double]]): (Double, Double) = {
+    var aNet = 0.0; var mx = 0.0; var my = 0.0
+    rings.zipWithIndex.foreach { case (r, idx) =>
+      val n = r.length / 2 - 1
+      var a = 0.0; var cx = 0.0; var cy = 0.0
+      var i = 0
+      while (i < n) {
+        val x1 = r(2 * i); val y1 = r(2 * i + 1)
+        val x2 = r(2 * i + 2); val y2 = r(2 * i + 3)
+        val cross = x1 * y2 - x2 * y1
+        a += cross
+        cx += (x1 + x2) * cross
+        cy += (y1 + y2) * cross
+        i += 1
+      }
+      val sign = if (a < 0) -1.0 else 1.0
+      val w = if (idx == 0) 1.0 else -1.0 // exterior adds, holes subtract
+      aNet += w * sign * a / 2
+      mx += w * sign * cx / 6
+      my += w * sign * cy / 6
+    }
+    if (aNet == 0) lineCentroid(rings(0)) else (mx / aNet, my / aNet)
+  }
+
+  private def canonicalPolygon(rings: Array[Array[Double]]): Array[Array[Double]] = {
+    val exterior = canonicalRing(rings(0))
+    val interiors = rings.drop(1).map(canonicalRing)
+      .sortBy(r => lineCentroid(r))
+    exterior +: interiors
+  }
+
+  /** Canonical form of an areal (or point) WKB geometry, as the reference's
+    * shapely `wkt.dumps` string (fixed 16 decimal places). */
   def canonicalWkt(wkb: Array[Byte]): String = {
     if (Wkb.geomType(wkb) == Wkb.Point) {
       val (x, y) = Wkb.readPoint(wkb)
-      return Wkt.emitPoint(round7(x), round7(y))
+      return s"POINT (${fmt16(round7(x))} ${fmt16(round7(y))})"
     }
-    val polys = Wkb.readPolygons(wkb).map { rings =>
-      rings.zipWithIndex.map { case (r, i) =>
-        canonicalRing(r, ccw = i == 0) // exterior CCW, holes CW
-      }
-    }
-    val sorted = polys.sortBy { rings => centroid(rings) }
-    if (sorted.length == 1) Wkt.emitPolygon(sorted(0))
-    else Wkt.emitMultiPolygon(sorted)
+    val polys = Wkb.readPolygons(wkb).map(canonicalPolygon)
+    val sorted = polys.sortBy(areaCentroid)
+    if (sorted.length == 1) emitPolygon(sorted(0))
+    else emitMultiPolygon(sorted)
   }
 
-  /** The cache-key geometry hash (full sha256 hex; callers truncate). */
+  // ---- shapely wkt.dumps formatting (trim=False → C printf %.16f) ----
+
+  /** C-printf `%.16f` of the EXACT binary double (what GEOS emits), e.g.
+    * 51.498164 → "51.4981640000000027". NOT Java's String.format("%.16f"),
+    * which zero-pads the shortest decimal repr instead of expanding the
+    * binary value — that mismatch breaks hash parity. */
+  private[geo] def fmt16(d: Double): String =
+    new java.math.BigDecimal(d)
+      .setScale(16, java.math.RoundingMode.HALF_EVEN).toPlainString
+
+  private def ringStr(r: Array[Double]): String = {
+    val sb = new StringBuilder("(")
+    var i = 0
+    while (i < r.length) {
+      if (i > 0) sb.append(", ")
+      sb.append(fmt16(r(i))).append(' ').append(fmt16(r(i + 1)))
+      i += 2
+    }
+    sb.append(')').toString
+  }
+
+  private def emitPolygon(rings: Array[Array[Double]]): String =
+    rings.map(ringStr).mkString("POLYGON (", ", ", ")")
+
+  private def emitMultiPolygon(polys: Array[Array[Array[Double]]]): String =
+    polys.map(p => p.map(ringStr).mkString("(", ", ", ")"))
+      .mkString("MULTIPOLYGON (", ", ", ")")
+
+  /** The cache-key geometry hash (full sha256 hex; callers truncate to 8). */
   def geometryHash(wkb: Array[Byte]): String = sha256Hex(canonicalWkt(wkb))
 }

@@ -26,19 +26,32 @@ object AsOfJoin {
     * @param rightTime ordering column on the right
     * @param valueCols right columns to carry (besides the time)
     */
+  /** Full-precision ordering key: timestamp columns compare at microsecond
+    * precision (a bare cast("long") would truncate to whole seconds, letting
+    * a right row LATER in the same second match — DuckDB's native ASOF, the
+    * oracle, compares at full precision); numeric columns pass through. */
+  private def orderKey(df: DataFrame, timeCol: String): Column =
+    df.schema(timeCol).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(timeCol).cast("timestamp"))
+      case _ => col(timeCol).cast("long")
+    }
+
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTime: String, rightTime: String,
            valueCols: Seq[String]): DataFrame = {
     val l = left
-      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_t", orderKey(left, leftTime))
       .withColumn("_isLeft", lit(1))
       .withColumn("_rt", lit(null).cast("long"))
       .withColumns(valueCols.map(c => s"_v_$c" -> lit(null).cast(right.schema(c).dataType.sql)).toMap)
     val r = right
       .select((keyCols.map(col) :+ col(rightTime)) ++ valueCols.map(col): _*)
-      .withColumn("_t", col(rightTime).cast("long"))
+      .withColumn("_t", orderKey(right, rightTime))
       .withColumn("_isLeft", lit(0))
-      .withColumn("_rt", col(rightTime).cast("long"))
+      // asof_time output: micros for timestamp inputs, raw value otherwise
+      .withColumn("_rt", orderKey(right, rightTime))
       .withColumns(valueCols.map(c => s"_v_$c" -> col(c)).toMap)
       .drop(rightTime +: valueCols: _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)

@@ -17,17 +17,29 @@ object CachePaths {
 
   private def h8(s: String): String = Canonical.sha256Hex(s).take(8)
 
+  /** Exact reference layout (`_generate_result_file_path`,
+    * data_downloader.py:925-963):
+    * `{release}/theme={theme}/type={type}/
+    *  {geomhash8}_{filterhash8|nofilter}{_colshash8}{_sorted}.parquet`.
+    * `filterRepr` must be the pyarrow-Expression string form, e.g.
+    * `(subtype == "residential")` — hash pinned in CanonicalParitySpec.
+    * The columns hash covers Python's `str(sorted(columns))` repr. */
   def resultPath(baseDir: String, release: String, theme: String, tpe: String,
                  geometryWkb: Array[Byte],
                  filterRepr: Option[String],
                  columns: Option[Seq[String]],
                  sorted: Boolean): String = {
     val geomH = Canonical.geometryHash(geometryWkb).take(8)
-    val filterPart = filterRepr.map(f => s"_${h8(f)}").getOrElse("")
-    val colsPart = columns.map(cs => s"_${h8(cs.sorted.mkString(","))}").getOrElse("")
-    val sortPart = if (sorted) "_sorted" else "_compact"
-    s"$baseDir/$release/${theme}_${tpe}_$geomH$filterPart$colsPart$sortPart.parquet"
+    val filterPart = filterRepr.map(h8).getOrElse("nofilter")
+    val colsPart = columns.map(cs => s"_${h8(pyListRepr(cs.sorted))}").getOrElse("")
+    val sortPart = if (sorted) "_sorted" else ""
+    s"$baseDir/$release/theme=$theme/type=$tpe/${geomH}_$filterPart$colsPart$sortPart.parquet"
   }
+
+  /** Python `str(list_of_str)` repr — what the reference feeds the columns
+    * hash: `['a', 'b']`. */
+  private[operators] def pyListRepr(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** Order-independent hash over (theme, type) pairs (+ their per-pair
     * params): pairs are sorted before hashing. */

@@ -87,7 +87,14 @@ object Checkpoint {
     if (missing.nonEmpty) {
       Files.createDirectories(outDir)
       val fresh = build(missing)
-      fresh.write.mode("append").partitionBy(partitionCol).parquet(outDir.toString)
+      // Dynamic partition overwrite, NOT append: a crash after a partial
+      // write but before the manifest update leaves orphan files in the
+      // still-missing partitions; the resume rebuilds those partitions and
+      // REPLACES their directories (append would duplicate the rows —
+      // exactly the crash-resume case this mechanism exists for).
+      fresh.write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy(partitionCol).parquet(outDir.toString)
       // lineage metrics for the partitions just completed
       // hive partition dirs read back with inferred (int) type — normalize
       val counts = spark.read.parquet(outDir.toString)

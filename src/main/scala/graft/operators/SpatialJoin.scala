@@ -117,19 +117,37 @@ object SpatialJoin {
                    qLatCol: String = "qlat", qLngCol: String = "qlng",
                    latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
     val dLat = radiusM / 110574.0
-    // worst-case meters-per-degree-longitude within the query's lat band
+    // MINIMUM |cos(lat)| within the query's lat band = worst-case (largest)
+    // longitude expansion. |cos| over [lo, hi] attains its minimum at an
+    // edge (it's unimodal with max at the equator), so take the lesser of
+    // the two clamped edges; a band touching a pole yields ~0 → the 1e-6
+    // guard blows dLng up to full-longitude cover (correct at the poles).
+    val bandLo = greatest(col(qLatCol) - lit(dLat), lit(-90.0))
+    val bandHi = least(col(qLatCol) + lit(dLat), lit(90.0))
     val qc = queries.withColumn("_coslat",
-      greatest(abs(cos(radians(col(qLatCol) - dLat))), abs(cos(radians(col(qLatCol) + dLat))),
-        // if the band crosses the equator the max cos is 1 — use least |lat|
-        when(signum(col(qLatCol) - dLat) =!= signum(col(qLatCol) + dLat), lit(1.0)).otherwise(lit(0.0))))
+      least(abs(cos(radians(bandLo))), abs(cos(radians(bandHi)))))
     val dLngCol = lit(radiusM) / (lit(111320.0) *
       when(col("_coslat") < lit(1e-6), lit(1e-6)).otherwise(col("_coslat")))
+    // antimeridian wrap: a radius bbox crossing ±180 splits into two covers
+    // (disjoint lng ranges, so no duplicate (query, point) candidates);
+    // dLng >= 180 degenerates to the full longitude range.
+    val lo = col(qLngCol) - dLngCol
+    val hi = col(qLngCol) + dLngCol
+    val full = dLngCol >= lit(180.0)
+    val y0 = bandLo
+    val y1 = bandHi
+    val primary = cover_cells(box_wkb(
+      when(full || lo < lit(-180.0), lit(-180.0)).otherwise(lo), y0,
+      when(full || hi > lit(180.0), lit(180.0)).otherwise(hi), y1), res)
+    val secondary =
+      when(!full && lo < lit(-180.0), cover_cells(box_wkb(lo + lit(360.0), y0, lit(180.0), y1), res))
+        .when(!full && hi > lit(180.0), cover_cells(box_wkb(lit(-180.0), y0, hi - lit(360.0), y1), res))
+        .otherwise(array().cast("array<bigint>"))
+    // array_distinct: the two covers can share a boundary cell when
+    // 360 - 2*dLng is under one cell width — dedupe before the join so a
+    // candidate pair is emitted once
     val qCells = qc
-      .withColumn("_cell", explode(cover_cells(box_wkb(
-        greatest(col(qLngCol) - dLngCol, lit(-180.0)),
-        greatest(col(qLatCol) - lit(dLat), lit(-90.0)),
-        least(col(qLngCol) + dLngCol, lit(180.0)),
-        least(col(qLatCol) + lit(dLat), lit(90.0))), res)))
+      .withColumn("_cell", explode(array_distinct(concat(primary, secondary))))
       .drop("_coslat")
     val pts = points.withColumn("_cell", cell_encode(col(latCol), col(lngCol), res))
     pts.join(broadcast(qCells), Seq("_cell"))

@@ -37,20 +37,31 @@ object StreamOps {
     * between consecutive events of a user). State = the open session.
     * Streaming twin of the batch `ev_sessionize` window query, as a
     * `flatMapGroupsWithState` operator (per-key mutable state, the engine's
-    * custom-state seam). Processing-time timeout closes idle sessions. */
+    * custom-state seam). A processing-time timeout (the gap duration)
+    * closes idle users' open sessions and drops their state — without it,
+    * an idle user's session would never be emitted and its state retained
+    * forever (unbounded state at 10^9 users). */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         sessionizeGroup)
   }
 
   /** Pure state-transition function (unit-testable without a stream):
     * folds a user's new events (ordered by ts) into the open session,
-    * emitting each session closed by a > 30 min gap. */
+    * emitting each session closed by a > 30 min gap. On a timeout firing
+    * (no events for the user this trigger), the open session is emitted
+    * and the state cleared. */
   def sessionizeGroup(userId: Long, rows: Iterator[Event],
                       state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      // idle user: close and emit the open session, release its state
+      val open = state.getOption.map(st => SessionOut(userId, st.sessionId, st.nEvents, st.cents))
+      state.remove()
+      return open.iterator
+    }
     var st = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
     rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
@@ -61,7 +72,12 @@ object StreamOps {
         st = SessionState(st.sessionId + 1, e.ts_us, 1L, cents)
       } else st = st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1, cents = st.cents + cents)
     }
-    if (st != null) state.update(st)
+    if (st != null) {
+      state.update(st)
+      // re-arm: fire if the user stays idle for a full gap (no-op when the
+      // caller configured NoTimeout, e.g. direct unit tests of this fn)
+      try state.setTimeoutDuration(GapUs / 1000) catch { case _: UnsupportedOperationException => }
+    }
     out.iterator
   }
 

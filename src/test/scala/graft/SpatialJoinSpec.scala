@@ -110,6 +110,51 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(exp.size > 100) // clusters make this non-trivial
   }
 
+  test("distanceJoin at high latitude, fine res: no dropped neighbors (ADVICE regression)") {
+    // at lat ~60 with a 500 km radius the old code under-expanded the lng
+    // range by > 1 degree — at res >= 8 whole cells of true matches fell
+    // outside the cover. Dense deterministic grid around lat 60-65.
+    val grid = (for {
+      i <- 0 until 60; j <- 0 until 60
+    } yield ((i * 60 + j).toLong, 55.0 + i * 0.2, -20.0 + j * 0.5)).toSeq
+    val gdf = grid.toDF("pid", "lat", "lng")
+    val queries = Seq((0L, 60.0, -5.0), (1L, 64.5, -18.0)).toDF("q_id", "qlat", "qlng")
+    val r = 500000.0
+    val got = SpatialJoin.distanceJoin(queries, gdf, radiusM = r, res = 8)
+      .select($"q_id", $"pid").as[(Long, Long)].collect().toSet
+    val exp = (for {
+      (qid, qlat, qlng) <- Seq((0L, 60.0, -5.0), (1L, 64.5, -18.0))
+      (pid, lat, lng) <- grid
+      if Geo.haversineM(qlat, qlng, lat, lng) <= r
+    } yield (qid, pid)).toSet
+    assert(got == exp)
+    assert(exp.size > 200)
+  }
+
+  test("distanceJoin wraps the antimeridian (two-cover split, no duplicates)") {
+    val near180 = (for (i <- 0 until 200) yield {
+      val lng = 179.0 + i * 0.01 // 179.00 .. 180.99 → wrap to (-180, -179]
+      val w = if (lng > 180) lng - 360 else lng
+      (i.toLong, 10.0 + (i % 7) * 0.3, w)
+    }).toSeq
+    val pdf = near180.toDF("pid", "lat", "lng")
+    val queries = Seq((0L, 11.0, 179.9), (1L, 10.5, -179.95)).toDF("q_id", "qlat", "qlng")
+    val r = 80000.0
+    val rows = SpatialJoin.distanceJoin(queries, pdf, radiusM = r, res = 7)
+      .select($"q_id", $"pid").as[(Long, Long)].collect()
+    val got = rows.toSet
+    assert(rows.length == got.size, "duplicate candidate pairs emitted")
+    val exp = (for {
+      (qid, qlat, qlng) <- Seq((0L, 11.0, 179.9), (1L, 10.5, -179.95))
+      (pid, lat, lng) <- near180
+      if Geo.haversineM(qlat, qlng, lat, lng) <= r
+    } yield (qid, pid)).toSet
+    assert(got == exp)
+    // both sides of the seam must contribute
+    assert(exp.exists { case (_, pid) => near180(pid.toInt)._3 > 0 })
+    assert(exp.exists { case (_, pid) => near180(pid.toInt)._3 < 0 })
+  }
+
   test("broadcast join plan has no shuffle on the points side") {
     val plan = SpatialJoin.pointsInPolygons(points, polys, res = 6)
       .queryExecution.executedPlan.toString
