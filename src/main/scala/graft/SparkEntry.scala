@@ -325,12 +325,17 @@ object SparkEntry {
     }),
 
     "d_quality" -> ((s, d) => {
-      documents(s, d).select(
+      // one tokenization pass: raw stats materialized behind a barrier,
+      // the three outputs derived from them (CollapseProject would
+      // otherwise re-run the regex splits per output column)
+      val stats = documents(s, d).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        round(TextAnalysis.stopwordRatio(col("text"), TextAnalysis.EnglishStopwords) * 1000)
-          .cast("long").as("stop_permille"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+        TextAnalysis.stopwordRatio(col("text"), TextAnalysis.EnglishStopwords).as("_sraw"),
+        TextAnalysis.punctRatio(col("text")).as("_praw")).cache()
+      stats.select(col("doc_id"), col("n_tokens"),
+        round(col("_sraw") * 1000).cast("long").as("stop_permille"),
+        TextAnalysis.qualityScoreFromStats(col("n_tokens"), col("_praw"), col("_sraw")).as("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -360,21 +365,28 @@ object SparkEntry {
     }),
 
     "d_minhash_pairs" -> ((s, d) => {
-      // MinHash+LSH near-dup candidates (hash fn engine-specific → rows-only
-      // check here; exactness vs brute force in DedupSpec)
+      // MinHash+LSH near-dup candidates with the PORTABLE lane hash —
+      // the DuckDB oracle reproduces signatures, banding, and the
+      // est-jaccard verify bit-for-bit (statistical recall vs brute force
+      // is separately proven in DedupSpec with the fast engine hash)
       Dedup.minhashLshPairs(documents(s, d), "text", "doc_id",
-        shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1)
+        shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1,
+        laneHash = Dedup.portableLaneHash)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "d_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 14)
+      // 4 bands of 15 bits ⇒ complete recall for Hamming <= 3 (pigeonhole)
+      Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "d_fingerprint" -> ((s, d) => {
       documents(s, d)
-        .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
+        .select(col("doc_id"), TextAnalysis.fingerprintChain(col("text")).as("fp_hex"))
         .orderBy(col("doc_id"))
     }),
 
@@ -491,7 +503,105 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of Dedup.hash60: fold of the first 15 md5 hex chars into a
+    * BIGINT (md5 of the UTF-8 bytes on both engines). */
+  private def hash60Sql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"regexp_extract_all(substr(md5($expr), 1, 15), '.'), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (acc, v) -> acc * 16 + v)"
+
+  /** Shared tokenization CTE body (DuckDB twin of Dedup.tokens on the
+    * ASCII-only documents fixture). */
+  private val toksCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Full MinHash+LSH oracle: portable lane hash → 32-lane signatures →
+    * 16 band buckets → distinct candidate pairs → est-jaccard verify.
+    * Mirrors Dedup.minhashLshPairs(laneHash = portableLaneHash) exactly. */
+  private val minhashOracleSql: String = {
+    val lane = hash60Sql("i || ':' || s")
+    s"""WITH $toksCte, sh AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 2
+       |    THEN list_distinct(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))
+       |    ELSE [] END AS sh
+       |  FROM toks
+       |), sig AS (
+       |  SELECT doc_id, list_transform(range(0, 32), i ->
+       |    coalesce(list_min(list_transform(sh, s -> $lane)), 9223372036854775807)) AS sig
+       |  FROM sh
+       |), banded AS (
+       |  SELECT doc_id, sig, b, array_to_string(sig[b*2+1:b*2+2], ',') AS h
+       |  FROM sig, unnest(range(0, 16)) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id
+       |), est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS agree
+       |  FROM cand
+       |)
+       |SELECT id_a, id_b, CAST(round(agree * 10000.0 / 32) AS BIGINT) AS est_e4
+       |FROM est WHERE agree / 32.0 >= 0.1 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Full SimHash oracle: portable token hashes → 60-bit sign-vote
+    * fingerprint → 4×15-bit band buckets → exact Hamming <= 3 verify.
+    * Mirrors Dedup.simhashPairs exactly. */
+  private val simhashOracleSql: String = {
+    val th = hash60Sql("t")
+    s"""WITH $toksCte, th AS (
+       |  SELECT doc_id, list_transform(tk, t -> $th) AS th FROM toks
+       |), fp AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i ->
+       |    CASE WHEN coalesce(list_sum(list_transform(th, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |    THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+       |  FROM th
+       |), banded AS (
+       |  SELECT doc_id, fp, q, (fp >> CAST(q * 15 AS INT)) & 32767 AS v
+       |  FROM fp, unnest(range(0, 4)) AS t(q)
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b ON a.q = b.q AND a.v = b.v AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Hilbert index oracle: the classic xy2d loop unrolled as a recursive
+    * CTE (16 steps, s = 32768 → 1), identical to geo.Hilbert.xy2d. */
+  private val hilbertOracleSql: String =
+    s"""WITH RECURSIVE $P, grid AS (
+       |  SELECT page_id,
+       |    CAST(least(greatest(floor((lng + 180.0) / 360.0 * 65536), 0), 65535) AS BIGINT) AS x,
+       |    CAST(least(greatest(floor((lat + 60.0) / 120.0 * 65536), 0), 65535) AS BIGINT) AS y
+       |  FROM pages
+       |), hil AS (
+       |  SELECT page_id, x, y, CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s FROM grid
+       |  UNION ALL
+       |  SELECT page_id,
+       |    CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END) ELSE x END,
+       |    CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END) ELSE y END,
+       |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+       |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+       |    s // 2
+       |  FROM hil WHERE s >= 1
+       |)
+       |SELECT page_id, d AS h FROM hil WHERE s = 0 ORDER BY h, page_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "d_minhash_pairs" -> minhashOracleSql,
+    "d_simhash_pairs" -> simhashOracleSql,
+    "s_hilbert_order" -> hilbertOracleSql,
+
+    "d_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend('graft', list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)),
+        |    (acc, t) -> md5(acc || '|' || t)) AS fp_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

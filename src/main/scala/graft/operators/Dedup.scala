@@ -24,6 +24,14 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Portable 60-bit hash: the first 15 hex chars of md5 as a long. Chosen
+    * so the DuckDB oracle can reproduce the exact value (md5 + hex fold are
+    * available on both engines); 60 bits keeps the ANSI long cast safe.
+    * For pure-engine hot paths xxhash64 is faster — the dedup operators
+    * take the hash as a parameter. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup: one survivor per identical value of `keyCol` (the min of
     * `idCol`). Single hash-aggregate: partial min map-side, so the shuffle
     * carries one row per distinct key per partition — scales to 10^12 rows
@@ -41,16 +49,28 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature lanes over an ALREADY-MATERIALIZED shingle-array
-    * column: signature i = min over shingles of xxhash64(i, shingle).
-    * Callers must materialize the shingle column behind a plan barrier
-    * (cache/checkpoint) first — Catalyst's CollapseProject would otherwise
-    * inline the shingle subtree (regex splits!) into every one of the
-    * `numHashes` lanes, multiplying the tokenization cost ×numHashes. */
-  def minhashSignatureFromShingles(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
+  /** Default (engine-internal) MinHash lane hash: xxhash64 seeded by lane. */
+  def xxLaneHash(i: Int, s: Column): Column = xxhash64(lit(i), s)
+
+  /** Oracle-portable lane hash: 60-bit md5 fold of "lane:shingle". */
+  def portableLaneHash(i: Int, s: Column): Column = hash60(concat(lit(s"$i:"), s))
+
+  /** MinHash signature over an ALREADY-MATERIALIZED shingle-array column —
+    * SINGLE PASS: one `aggregate` carries an array<long> accumulator of
+    * `numHashes` running minima, updated lane-wise per element with
+    * `zip_with`. (The naive per-lane `transform`+`array_min` form re-walks
+    * the array `numHashes` times — 32× the traversals — and, worse,
+    * Catalyst's CollapseProject inlines a non-materialized shingle subtree
+    * into every lane; callers must still cache/checkpoint the shingle
+    * column.) Empty shingle arrays yield Long.MaxValue lanes. */
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int,
+                                   laneHash: (Int, Column) => Column = xxLaneHash): Column =
+    aggregate(
+      sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc,
+        array((0 until numHashes).map(i => laneHash(i, s)): _*),
+        (a, h) => least(a, h)))
 
   /** Convenience single-expression form (fine for one-off use; see the
     * CollapseProject warning above for hot paths). */
@@ -61,78 +81,103 @@ object Dedup {
     * Jaccard (fraction of matching signature positions).
     *
     * Plan shape (the scale path for fuzzy dedup at 10^12 docs):
-    *   1. narrow: signature per doc (no shuffle)
-    *   2. explode to `bands` rows/doc, hash each band (shuffle key = band
-    *      bucket — uniform by construction, no skew)
-    *   3. self-join within buckets (docs sharing ≥1 band bucket)
+    *   1. narrow: signature per doc (single-pass aggregate, no shuffle)
+    *   2. explode to `bands` rows/doc, band key = the band's lane values
+    *      (shuffle key — uniform by construction, no skew)
+    *   3. self-join within buckets (docs sharing ≥1 identical band)
     *   4. distinct pairs, then verify on signature agreement ≥ threshold
+    *
+    * The band key is the raw joined-lane string so candidate equality
+    * classes are exact (and oracle-reproducible); at 100 TB wrap it in a
+    * 64-bit hash to shrink the exchange — candidates only gain (hash
+    * collisions), never lose, so results are identical after the verify.
     *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      laneHash: (Int, Column) => Column = xxLaneHash): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // two materialization barriers (at 10^12 scale: checkpointed tables):
-    // 1. shingles — so the regex tokenization runs once, not ×numHashes
-    //    (CollapseProject would inline it into every hash lane);
-    // 2. signatures — reused by BOTH sides of the banded self-join.
+    // materialization barrier: the shingle array feeds the signature
+    // aggregate; without it CollapseProject re-runs the regex tokenization
+    // per consumer. (At 10^12 scale: a checkpointed table.)
     val sh = df.select(col(idCol).as("_id"),
       shingles(col(textCol), shingleLen).as("_sh")).cache()
     val sig = sh.select(col("_id"),
-      minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
+      minhashSignatureFromShingles(col("_sh"), numHashes, laneHash).as("_sig"))
       .cache()
     val banded = sig.withColumn("_band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("b"),
-            xxhash64(b, concat_ws(",", transform(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))).as("h")))))
+            concat_ws(",", transform(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))).as("h")))))
       .select(col("_id"), col("_sig"), col("_band.b").as("_b"), col("_band.h").as("_h"))
     val l = banded.select(col("_id").as("id_a"), col("_sig").as("_sig_a"), col("_b"), col("_h"))
     val r = banded.select(col("_id").as("id_b"), col("_sig").as("_sig_b"), col("_b"), col("_h"))
     l.join(r, Seq("_b", "_h"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => x === y), b => b))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(
+        size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(numHashes)).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b")).agg(first(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** SimHash: 64-bit locality-sensitive fingerprint — bit i of the result is
-    * the sign of Σ_tokens (2·bit_i(hash(token)) − 1). Pure expressions, one
-    * narrow pass. Near-dups = small Hamming distance. */
-  def simhash(text: Column): Column =
-    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+  /** SimHash width: 60 bits (not 64) so every bit comes from the portable
+    * 60-bit md5 hash and the DuckDB oracle reproduces fingerprints exactly. */
+  final val SimHashBits = 60
 
-  /** SimHash from a materialized token-hash array column — same
-    * CollapseProject caveat as minhashSignatureFromShingles: the 64 bit
-    * lanes each reference the array; materialize it behind a barrier so
-    * tokenization doesn't run ×64. */
+  private val simhashMasks: Column =
+    array((0 until SimHashBits).map(i => lit(1L << i)): _*)
+
+  /** SimHash: 60-bit locality-sensitive fingerprint — bit i of the result is
+    * the sign of Σ_tokens (2·bit_i(hash(token)) − 1). One narrow pass. */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), t => hash60(t)))
+
+  /** SimHash from a materialized token-hash array column — SINGLE PASS: one
+    * `aggregate` carries all 60 bit-vote counters in an array<long>
+    * accumulator (the per-bit-lane form walks the array 60 times).
+    * Materialize the hash array behind a barrier on hot paths (the
+    * CollapseProject caveat). */
   def simhashFromHashes(hashes: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      val s = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-      when(s > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), SimHashBits),
+      (acc, h) => zip_with(acc, simhashMasks,
+        (a, m) => when(h.bitwiseAND(m) =!= 0, a + 1).otherwise(a - 1)))
+    aggregate(
+      zip_with(votes, simhashMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
   }
 
-  /** Hamming distance between two 64-bit fingerprints. */
+  /** Hamming distance between two fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters (a pair within
-    * Hamming distance 3 of 64 bits must agree on ≥1 quarter — pigeonhole),
-    * then verify exact Hamming ≤ maxHamming. */
+  /** SimHash near-dup pairs via band-bucketing, then exact Hamming verify.
+    *
+    * RECALL GUARANTEE (pigeonhole): a pair within Hamming distance d of a
+    * fingerprint split into `bands` equal segments must agree on at least
+    * `bands - d` segments — so candidates are complete iff
+    * `maxHamming < bands` (enforced). The classic Google configuration is
+    * 4 bands of 15/16 bits for d ≤ 3; a larger budget needs more, narrower
+    * bands (e.g. d=10 → 12 bands of 5 bits) at the cost of bigger buckets. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall needs bands > maxHamming (got bands=$bands, maxHamming=$maxHamming)")
+    require(SimHashBits % bands == 0, s"bands must divide $SimHashBits")
+    val bandBits = SimHashBits / bands
+    val bandMask = (1L << bandBits) - 1
     val th = df.select(col(idCol).as("_id"),
-      transform(tokens(col(textCol)), t => xxhash64(t)).as("_th")).cache()
+      transform(tokens(col(textCol)), t => hash60(t)).as("_th")).cache()
     val fp = th.select(col("_id"), simhashFromHashes(col("_th")).as("_fp")).cache()
-    val quartered = fp.withColumn("_q", explode(array((0 until 4).map { q =>
-      struct(lit(q).as("q"), shiftright(col("_fp"), q * 16).bitwiseAND(lit(0xffffL)).as("v"))
+    val banded = fp.withColumn("_q", explode(array((0 until bands).map { q =>
+      struct(lit(q).as("q"), shiftright(col("_fp"), q * bandBits).bitwiseAND(lit(bandMask)).as("v"))
     }: _*)))
-    val l = quartered.select(col("_id").as("id_a"), col("_fp").as("_fa"), col("_q"))
-    val r = quartered.select(col("_id").as("id_b"), col("_fp").as("_fb"), col("_q"))
+    val l = banded.select(col("_id").as("id_a"), col("_fp").as("_fa"), col("_q"))
+    val r = banded.select(col("_id").as("id_b"), col("_fp").as("_fb"), col("_q"))
     l.join(r, Seq("_q"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("_fa"), col("_fb")).as("hamming"))
@@ -144,7 +189,10 @@ object Dedup {
     * one shingle. Classic IR plan: (id, shingle) distinct → self-join on
     * shingle → |A∩B| per pair → join per-doc set sizes → J = ∩/(|A|+|B|−∩).
     * `maxShingleFreq` drops ubiquitous shingles before the self-join (the
-    * standard stop-shingle guard: a shingle in f docs makes f² pairs). */
+    * standard stop-shingle guard: a shingle in f docs makes f² pairs).
+    * NOTE: the guard silently caps candidates — pairs connected ONLY
+    * through dropped stop-shingles are not emitted; callers choose the
+    * frequency bound accordingly. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleLen: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000): DataFrame = {

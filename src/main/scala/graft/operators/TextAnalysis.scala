@@ -39,16 +39,25 @@ object TextAnalysis {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with")
 
-  /** Composite quality score in [0,1]: length band + low punctuation +
-    * some stopwords (the classic web-text quality heuristics, cf. C4/Gopher
-    * filtering rules — public methodology). */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
+  /** Composite quality score from PRE-COMPUTED stats columns — use this on
+    * hot paths so tokenization runs once: materialize (tokenCount,
+    * punctRatio, stopwordRatio) behind a barrier and derive the score from
+    * them (CollapseProject would otherwise inline the regex splits into
+    * every consumer — the d_quality query paid 52 s for that in round 1). */
+  def qualityScoreFromStats(nTok: Column, praw: Column, sraw: Column): Column = {
     val lenScore = when(nTok.between(5, 10000), lit(0.4)).otherwise(lit(0.0))
-    val punctScore = when(punctRatio(text) <= 0.2, lit(0.3)).otherwise(lit(0.0))
-    val stopScore = when(stopwordRatio(text, EnglishStopwords) >= 0.05, lit(0.3)).otherwise(lit(0.0))
+    val punctScore = when(praw <= 0.2, lit(0.3)).otherwise(lit(0.0))
+    val stopScore = when(sraw >= 0.05, lit(0.3)).otherwise(lit(0.0))
     round(lenScore + punctScore + stopScore, 1)
   }
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * some stopwords (the classic web-text quality heuristics, cf. C4/Gopher
+    * filtering rules — public methodology). One-off form; see
+    * qualityScoreFromStats for the hot path. */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromStats(tokenCount(text), punctRatio(text),
+      stopwordRatio(text, EnglishStopwords))
 
   /** Per-language marker stopwords for the n-gram/stopword language-ID
     * heuristic. Deterministic and tiny by design. */
@@ -86,4 +95,11 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     aggregate(Dedup.tokens(text), lit(1469598103934665603L),
       (acc, t) => xxhash64(acc, t))
+
+  /** Oracle-portable rolling fingerprint: md5 chained over the token
+    * sequence (hex-string state). Same order-sensitivity contract as
+    * fingerprint64; reproducible in DuckDB via list_reduce + md5. */
+  def fingerprintChain(text: Column): Column =
+    aggregate(Dedup.tokens(text), lit("graft"),
+      (acc, t) => md5(to_binary(concat(acc, lit("|"), t), lit("utf-8"))))
 }

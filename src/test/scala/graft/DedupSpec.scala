@@ -85,30 +85,60 @@ class DedupSpec extends SparkTestBase {
     (0 until 30).foreach { i =>
       assert(fps(1000L + i) == fps((i * 7 % 300).toLong))
     }
-    // random doc pairs: mean hamming near 32 (independent bits)
+    // random doc pairs: mean hamming near 30 (60 independent-ish bits)
     val rnd = new scala.util.Random(3)
     val hs = (0 until 200).map { _ =>
       val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
       java.lang.Long.bitCount(fps(a) ^ fps(b))
     }
     val mean = hs.sum.toDouble / hs.size
-    assert(mean > 20 && mean < 44, s"mean hamming $mean")
+    assert(mean > 18 && mean < 42, s"mean hamming $mean")
   }
 
-  test("simhashPairs finds near-dups within the hamming budget, exact-verified") {
-    val got = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
-      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
-    // every returned pair ACTUALLY has hamming <= 10 (verify against scalar recompute)
+  test("simhashPairs: COMPLETE recall within the hamming budget (brute-force oracle)") {
+    // VERDICT round-1 regression: bands must cover the budget (pigeonhole);
+    // verify precision AND recall against exact fingerprints.
     val fps = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
       .as[(Long, Long)].collect().toMap
-    got.foreach { case (a, b, h) =>
-      assert(java.lang.Long.bitCount(fps(a) ^ fps(b)) == h && h <= 10)
+    for ((budget, bands) <- Seq((3, 4), (10, 12))) {
+      val got = Dedup.simhashPairs(docs, "text", "doc_id",
+        maxHamming = budget, bands = bands)
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+      // precision: every returned pair has the claimed exact hamming
+      got.foreach { case (a, b, h) =>
+        assert(java.lang.Long.bitCount(fps(a) ^ fps(b)) == h && h <= budget)
+      }
+      // recall: EVERY true pair within the budget is present
+      val ids = fps.keys.toSeq.sorted
+      val expected = (for {
+        ai <- ids.indices.iterator; bi <- (ai + 1 until ids.size).iterator
+        a = ids(ai); b = ids(bi)
+        if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= budget
+      } yield (a, b)).toSet
+      val gotPairs = got.map(p => (p._1, p._2)).toSet
+      assert(expected.subsetOf(gotPairs),
+        s"budget=$budget missed ${(expected -- gotPairs).take(5)} of ${expected.size}")
+      assert(expected.nonEmpty) // planted exact dups guarantee hamming-0 pairs
     }
-    // all exact-dup pairs (hamming 0) are present
-    assert((0 until 30).forall { i =>
-      val (a, b) = ((i * 7 % 300).toLong, 1000L + i)
-      got.exists(p => p._1 == a && p._2 == b)
-    })
+  }
+
+  test("simhashPairs rejects a hamming budget the banding cannot cover") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 14) // bands=4
+    }
+  }
+
+  test("portable lane hash gives the same LSH pair semantics as the engine hash") {
+    // same plan, different hash family: the verify step makes both exact
+    // w.r.t. their own signatures; planted exact dups must appear in both
+    val portable = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      shingleLen = 3, numHashes = 32, bands = 16, threshold = 0.9,
+      laneHash = Dedup.portableLaneHash)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (0 until 30).foreach { i =>
+      val pair = ((i * 7 % 300).toLong, 1000L + i)
+      assert(portable.contains(pair), s"missing exact dup $pair")
+    }
   }
 
   test("tokens/shingles edge cases: empty text, single token, punctuation") {
