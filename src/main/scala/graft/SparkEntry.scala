@@ -171,6 +171,38 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    "q_wide_vocab" -> ((s, d) => {
+      // release-stable wide columns: vocabulary = GLOBAL distinct hierarchy
+      // combos (the whole table), pivot applied to a REGION subset — the
+      // oracle's literal column list proves region-independence of schema
+      val all = part(s, d)
+      val vocab = WideFormVocabulary.build(all, Seq("p_type"))
+      val (useCols, combos) = WideFormVocabulary.combos(vocab, Seq("p_type"), "part", "type")
+      WideForm.pivotHierarchy(all.where(col("p_size") <= 10), Seq("p_partkey"),
+        Seq("part", "type"), useCols, vocabulary = Some(combos))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_multi_convert" -> ((s, d) => {
+      // multi-(theme,type) orchestration e2e: two pairs, per-pair predicate
+      // and projection, pentagon geometry filter, combined in input order
+      val feats = pages(s, d)
+        .withColumn("id", col("page_id").cast("string"))
+        .withColumn("geometry", to_binary(lit("01"), lit("hex")))
+        .withColumn("bbox", struct(col("lng").as("xmin"), col("lat").as("ymin"),
+          col("lng").as("xmax"), col("lat").as("ymax")))
+      val outs = MultiConvert.convertMultiple(
+        Seq("web" -> "en", "web" -> "de"),
+        source = (_, tpe) => feats.where(col("lang") === tpe),
+        filterWkb = PentagonWkb,
+        pyarrowFilters = Some(Seq(Some(Seq(Seq(("page_id", ">", 1000L)))), None)),
+        columns = Some(Seq(Some(Seq("lat", "lng", "lang")), Some(Seq("lat", "lng", "lang")))))
+      outs.zip(Seq("en", "de")).map { case (df, t) =>
+        df.drop("geometry").withColumn("pair_type", lit(t))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("pair_type"), col("id"))
+    }),
+
     "q_nullstop_concat" -> ((s, d) => {
       // F1 stop-at-first-NULL fold (nulls manufactured via nullif)
       part(s, d).select(col("p_partkey"),
@@ -705,6 +737,30 @@ object SparkEntry {
         |    coalesce(p_type = 'PROMO', false) AS "large|PROMO"
         |  FROM part WHERE p_size > 25)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_wide_vocab" ->
+      """SELECT p_partkey,
+        |  coalesce(p_type = 'ECONOMY', false) AS "part|type|ECONOMY",
+        |  coalesce(p_type = 'LARGE', false) AS "part|type|LARGE",
+        |  coalesce(p_type = 'MEDIUM', false) AS "part|type|MEDIUM",
+        |  coalesce(p_type = 'PROMO', false) AS "part|type|PROMO",
+        |  coalesce(p_type = 'SMALL', false) AS "part|type|SMALL",
+        |  coalesce(p_type = 'STANDARD', false) AS "part|type|STANDARD"
+        |FROM part WHERE p_size <= 10 ORDER BY p_partkey""".stripMargin,
+
+    "q_multi_convert" ->
+      s"""WITH $P, feats AS (
+         |  SELECT page_id, CAST(page_id AS VARCHAR) AS id, lat, lng,
+         |    ['en','de','pl','fr','ja'][CAST(page_id % 5 AS INT) + 1] AS lang
+         |  FROM pages
+         |)
+         |SELECT lat, lng, lang, id, pair_type FROM (
+         |  SELECT lat, lng, lang, id, 'en' AS pair_type FROM feats
+         |  WHERE lang = 'en' AND $pentagonInteriorSql AND page_id > 1000
+         |  UNION ALL
+         |  SELECT lat, lng, lang, id, 'de' AS pair_type FROM feats
+         |  WHERE lang = 'de' AND $pentagonInteriorSql
+         |) ORDER BY pair_type, id""".stripMargin,
 
     "q_nullstop_concat" ->
       """SELECT p_partkey,

@@ -20,26 +20,39 @@ import graft.functions.geofunctions._
   */
 object SortedSink {
 
+  /** zstd level range the reference parameterizes (data_downloader.py:
+    * 130-133 passes compression_level to DuckDB's COPY; default 3,
+    * tests exercise 3 vs 22 — test_internals.py:56-83). */
+  final val DefaultZstdLevel = 3
+
+  private def writer(df: DataFrame, compression: String, level: Option[Int]) = {
+    val w = df.write.mode("overwrite").option("compression", compression)
+    // parquet-java reads the zstd level from this conf key; Spark forwards
+    // writer options into the write job's Hadoop configuration
+    level.map(l => w.option("parquet.compression.codec.zstd.level", l.toString))
+      .getOrElse(w)
+  }
+
   def writeHilbertSorted(df: DataFrame, path: String,
                          latCol: String, lngCol: String,
                          extent: (Double, Double, Double, Double),
                          order: Int = 16, numFiles: Int = 0,
-                         compression: String = "zstd"): Unit = {
+                         compression: String = "zstd",
+                         compressionLevel: Option[Int] = None): Unit = {
     val (xmin, ymin, xmax, ymax) = extent
     val withKey = df.withColumn("_hilbert",
       hilbert_index(col(latCol), col(lngCol), xmin, ymin, xmax, ymax, order))
     val parts = if (numFiles > 0) numFiles
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    withKey
+    writer(withKey
       .repartitionByRange(parts, col("_hilbert"))
       .sortWithinPartitions(col("_hilbert"))
-      .drop("_hilbert")
-      .write.mode("overwrite")
-      .option("compression", compression)
+      .drop("_hilbert"), compression, compressionLevel)
       .parquet(path)
   }
 
   /** Plain compressed sink (the reference's non-sorted path, S7). */
-  def writeCompact(df: DataFrame, path: String, compression: String = "zstd"): Unit =
-    df.write.mode("overwrite").option("compression", compression).parquet(path)
+  def writeCompact(df: DataFrame, path: String, compression: String = "zstd",
+                   compressionLevel: Option[Int] = None): Unit =
+    writer(df, compression, compressionLevel).parquet(path)
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.geofunctions._
 import graft.functions.GeomConstructors._
-import graft.geo.Cell
 
 /** The engine's flagship operators: cell-partitioned spatial joins.
   *
@@ -155,16 +154,21 @@ object SpatialJoin {
       .drop("_cell")
   }
 
-  /** kNN join via expanding k-ring search (SURVEY.md §2.3 J-row "kNN").
-    *
-    * The query side is dimension-sized (collected to the driver — documented
-    * contract; the points side stays fully distributed). Search: for ring
-    * radius r = 0, 1, 2, …, probe the cells at Chebyshev distance r around
-    * each unresolved query (each round is ONE distributed equi-join);
-    * a query resolves when its current k-th best distance is ≤ the minimum
-    * possible distance of anything in an unexplored ring (latitude-separation
-    * bound, safe at all longitudes). Falls back to a full scan for queries
-    * unresolved after `maxRings` (correct everywhere incl. poles).
+  /** kNN join via expanding k-ring search (SURVEY.md §2.3 J-row "kNN") —
+    * FULLY DISTRIBUTED: the query side is never collected. Each round:
+    *   1. unresolved queries generate their next ring batch of probe cells
+    *      with the `CellKRing` generator expression (narrow);
+    *   2. ONE equi-join against the cell-encoded points (probe side
+    *      broadcast while small, shuffle join when the probe explodes);
+    *   3. per-query top-k trim (window) with lineage truncation;
+    *   4. distributed termination test: a query resolves when its current
+    *      k-th distance ≤ the minimum possible distance of anything in an
+    *      unexplored ring (latitude/longitude separation bound, evaluated
+    *      as expressions); resolved queries leave via an anti-join.
+    * The only driver synchronization is the scalar `count()` of unresolved
+    * queries per round (log-many rounds — ring batches double). Falls back
+    * to a full scan for queries unresolved after `maxRings` (correct
+    * everywhere incl. poles).
     *
     * Output: query columns + point columns + `dist_m` + `knn_rank` (1..k),
     * ties broken by `tieCol` ascending for determinism. */
@@ -174,66 +178,72 @@ object SpatialJoin {
               latCol: String = "lat", lngCol: String = "lng",
               maxRings: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = points.sparkSession
-    import spark.implicits._
-
-    val qRows = queries.select(col(qKeyCol).cast("long"), col(qLatCol).cast("double"), col(qLngCol).cast("double"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-    require(qRows.nonEmpty, "empty query side")
     val cellLatDeg = 180.0 / (1L << res).toDouble
-    val minCellLatMeters = cellLatDeg * 110574.0
+    val cellLngDeg = 360.0 / (1L << res).toDouble
+    val minCellLatMeters = cellLatDeg * 110574.0 // underestimates m/deg ⇒ conservative
 
     val pts = points.withColumn("_cell", cell_encode(col(latCol), col(lngCol), res))
       .cache() // re-probed every round; at scale this is the cell-indexed table itself
-
+    var unresolved = queries.select(
+        col(qKeyCol).cast("long").as("_qid"),
+        col(qLatCol).cast("double").as("_qlat"),
+        col(qLngCol).cast("double").as("_qlng"))
+      .withColumn("_qcell", cell_encode(col("_qlat"), col("_qlng"), res))
+      .localCheckpoint(eager = true)
     val distC = haversine_m(col("_qlat"), col("_qlng"), col(latCol), col(lngCol))
-    var unresolved = qRows.toSeq
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_dist").asc, col(tieCol).asc)
+
     var acc: DataFrame = null
     var r = 0          // first unprobed ring
     var batchRings = 1 // geometric batching: 1, 2, 4, … rings per round
-    while (unresolved.nonEmpty && r <= maxRings) {
+    var remaining = unresolved.count()
+    require(remaining > 0, "empty query side")
+    while (remaining > 0 && r <= maxRings) {
       val rEnd = math.min(r + batchRings - 1, maxRings)
-      val probe = unresolved.flatMap { case (qid, qlat, qlng) =>
-        val qcell = Cell.encode(qlat, qlng, res)
-        (r to rEnd).flatMap(rr => Cell.ring(qcell, rr)).distinct
-          .map(c => (qid, qlat, qlng, c))
-      }.toDF("_qid", "_qlat", "_qlng", "_cell")
-      val cand = pts.join(broadcast(probe), Seq("_cell"))
-        .withColumn("_dist", distC)
+      // cells at Chebyshev distance in [r, rEnd] (disjoint from prior rounds)
+      val ringCells =
+        if (r == 0) cell_kring(col("_qcell"), rEnd)
+        else array_except(cell_kring(col("_qcell"), rEnd), cell_kring(col("_qcell"), r - 1))
+      val probe = unresolved
+        .withColumn("_cell", explode(ringCells))
+        .select(col("_qid"), col("_qlat"), col("_qlng"), col("_cell"))
+      // broadcast while the probe is dimension-sized; a late-round probe of
+      // many unresolved queries × a wide ring goes through the shuffle join
+      val ringCellBound = (2L * rEnd + 1) * (2L * rEnd + 1)
+      val rhs = if (remaining * ringCellBound <= 2000000L) broadcast(probe) else probe
+      val cand = pts.join(rhs, Seq("_cell")).withColumn("_dist", distC)
       acc = if (acc == null) cand else acc.unionByName(cand)
       // keep only per-query top-k so the accumulator stays small
-      val w = Window.partitionBy($"_qid").orderBy($"_dist".asc, col(tieCol).asc)
-      acc = acc.withColumn("_rn", row_number().over(w)).where($"_rn" <= k).drop("_rn")
+      acc = acc.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
         .localCheckpoint(eager = true) // truncate the growing lineage per round
-      // resolution check: a point outside rings ≤ r is ≥ (r) cell-widths
-      // away in lat OR lng grid coordinates (its cell is at Chebyshev
-      // distance ≥ r+1; worst case both points sit on facing cell edges).
-      val kth = acc.groupBy($"_qid").agg(count(lit(1)).as("n"), max($"_dist").as("kth"))
-        .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getDouble(2))).toMap
-      val latGuard = rEnd.toDouble * minCellLatMeters // 110574 m/deg underestimates ⇒ conservative
-      unresolved = unresolved.filterNot { case (qid, qlat, _) =>
-        // longitude-only separation shrinks by cos(lat) — worst lat in band
-        val latBand = math.min(90.0, math.abs(qlat) + (rEnd + 1) * cellLatDeg)
-        val lngMeters = rEnd.toDouble * (360.0 / (1L << res).toDouble) * 110574.0 *
-          math.max(math.cos(math.toRadians(latBand)), 0.0)
-        val bound = math.min(latGuard, lngMeters)
-        kth.get(qid).exists { case (n, kd) => n >= k && kd <= bound }
-      }
+      // distributed resolution test: a point outside rings ≤ rEnd is ≥ rEnd
+      // cell-widths away in lat OR lng grid coordinates (its cell is at
+      // Chebyshev distance ≥ rEnd+1; worst case facing cell edges).
+      val latBand = least(lit(90.0), abs(col("_qlat")) + lit((rEnd + 1) * cellLatDeg))
+      val lngMeters = lit(rEnd * cellLngDeg * 110574.0) *
+        greatest(cos(radians(latBand)), lit(0.0))
+      val bound = least(lit(rEnd * minCellLatMeters), lngMeters)
+      val kth = acc.groupBy(col("_qid"))
+        .agg(count(lit(1)).as("_n"), max(col("_dist")).as("_kth"))
+      val resolved = unresolved.join(kth, Seq("_qid"))
+        .where(col("_n") >= k && col("_kth") <= bound)
+        .select(col("_qid"))
+      unresolved = unresolved.join(resolved, Seq("_qid"), "left_anti")
+        .localCheckpoint(eager = true)
+      remaining = unresolved.count() // the per-round driver sync: one scalar
       r = rEnd + 1
       batchRings *= 2
     }
-    if (unresolved.nonEmpty) {
+    if (remaining > 0) {
       // exact fallback: full scan for the stragglers (poles/antimeridian).
       // Their ring-probed partial candidates are dropped first — the full
       // scan re-covers them (otherwise they'd appear twice).
-      val probe = unresolved.toDF("_qid", "_qlat", "_qlng")
-      val unresolvedIds = unresolved.map(q => Long.box(q._1))
-      val cand = pts.crossJoin(broadcast(probe)).withColumn("_dist", distC)
-      acc = acc.where(!col("_qid").isin(unresolvedIds: _*))
+      val cand = pts.crossJoin(broadcast(unresolved.drop("_qcell")))
+        .withColumn("_dist", distC)
+      acc = acc.join(unresolved.select(col("_qid")), Seq("_qid"), "left_anti")
         .unionByName(cand.select(acc.columns.map(col): _*))
     }
-    val w = Window.partitionBy($"_qid").orderBy($"_dist".asc, col(tieCol).asc)
-    acc.withColumn("knn_rank", row_number().over(w)).where($"knn_rank" <= k)
+    acc.withColumn("knn_rank", row_number().over(w)).where(col("knn_rank") <= k)
       .withColumnRenamed("_qid", qKeyCol)
       .withColumnRenamed("_dist", "dist_m")
       .drop("_cell", "_qlat", "_qlng")

@@ -29,10 +29,14 @@ object WideForm {
     * `COALESCE((h1 = 'v1' AND h2 = 'v2'), False)`, NULL levels compared
     * with IS NULL (wide_form.py:128-143). */
   def hierarchyPivotCol(levels: Seq[(String, Option[String])], colName: String): Column = {
-    val cond = levels.map {
-      case (c, Some(v)) => col(c) === lit(v)
-      case (c, None)    => col(c).isNull
-    }.reduce(_ && _)
+    // depth-0 clip: the single `theme|type` presence column (always true
+    // for rows of that pair — reference wide_form.py:446-448)
+    val cond =
+      if (levels.isEmpty) lit(true)
+      else levels.map {
+        case (c, Some(v)) => col(c) === lit(v)
+        case (c, None)    => col(c).isNull
+      }.reduce(_ && _)
     coalesce(cond, lit(false)).as(colName)
   }
 

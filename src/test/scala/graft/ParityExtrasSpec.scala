@@ -140,4 +140,19 @@ class ParityExtrasSpec extends SparkTestBase {
     assert(bytes(s"$base/sorted") < bytes(s"$base/plain"),
       s"sorted=${bytes(s"$base/sorted")} plain=${bytes(s"$base/plain")}")
   }
+
+  test("zstd compression level surface: level 22 output strictly smaller than level 3") {
+    // reference parameterizes zstd 3..22 and pins zstd22 < zstd3
+    // (tests/base/test_internals.py:56-83)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = "/root/repo/target/zstd_test"
+    SortedSink.writeCompact(docs.coalesce(1), s"$base/l3", compressionLevel = Some(3))
+    SortedSink.writeCompact(docs.coalesce(1), s"$base/l22", compressionLevel = Some(22))
+    def bytes(p: String): Long = Files.list(Paths.get(p)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet")).map(Files.size).sum
+    assert(bytes(s"$base/l22") < bytes(s"$base/l3"),
+      s"l22=${bytes(s"$base/l22")} l3=${bytes(s"$base/l3")}")
+    assert(spark.read.parquet(s"$base/l22").count() == docs.count())
+  }
 }
