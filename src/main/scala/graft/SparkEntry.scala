@@ -403,7 +403,7 @@ object SparkEntry {
       // is separately proven in DedupSpec with the fast engine hash)
       Dedup.minhashLshPairs(documents(s, d), "text", "doc_id",
         shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1,
-        laneHash = Dedup.portableLaneHash)
+        signature = Dedup.minhashSignaturePortable)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
         .orderBy(col("id_a"), col("id_b"))
@@ -441,11 +441,14 @@ object SparkEntry {
     }),
 
     "e_ann_lsh" -> ((s, d) => {
+      // quantized-integer hyperplane signatures against the literal plane
+      // matrix → the DuckDB oracle reproduces buckets and ranks exactly
       val emb = embeddings(s, d)
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.annTopK(emb.where(col("vec_id") >= 5), qs, k = 3,
-        nPlanes = 16, bands = 8)
+        nPlanes = 16, bands = 8,
+        signature = Similarity.lshSignatureQuantized(_, AnnPlanes))
         .select(col("q_id"), col("sim_rank"), col("vec_id"))
         .orderBy(col("q_id"), col("sim_rank"))
     }),
@@ -488,6 +491,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
         .orderBy(col("user_id"), col("session_id"))
     }))
+
+  /** Literal ±1 hyperplane matrix shared verbatim by the e_ann_lsh plan
+    * and its DuckDB oracle (16 planes × 64 dims, md5-derived constants). */
+  final val AnnPlanes: Array[Array[Int]] = Similarity.planeMatrix(16, 64)
 
   // a convex pentagon with off-grid vertices (no page point can sit on an edge)
   final val PentagonWkt: String =
@@ -535,12 +542,14 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB twin of Dedup.hash60: fold of the first 15 md5 hex chars into a
-    * BIGINT (md5 of the UTF-8 bytes on both engines). */
-  private def hash60Sql(expr: String): String =
+  /** DuckDB fold of 15 md5 hex chars (from 1-based `start`) into a BIGINT. */
+  private def hexFoldSql(expr: String, start: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
-      s"regexp_extract_all(substr(md5($expr), 1, 15), '.'), " +
+      s"regexp_extract_all(substr(md5($expr), $start, 15), '.'), " +
       s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (acc, v) -> acc * 16 + v)"
+
+  /** DuckDB twin of Dedup.hash60: fold of the first 15 md5 hex chars. */
+  private def hash60Sql(expr: String): String = hexFoldSql(expr, 1)
 
   /** Shared tokenization CTE body (DuckDB twin of Dedup.tokens on the
     * ASCII-only documents fixture). */
@@ -550,20 +559,24 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
-  /** Full MinHash+LSH oracle: portable lane hash → 32-lane signatures →
-    * 16 band buckets → distinct candidate pairs → est-jaccard verify.
-    * Mirrors Dedup.minhashLshPairs(laneHash = portableLaneHash) exactly. */
+  /** Full MinHash+LSH oracle: Kirsch–Mitzenmacher lane family (one md5 →
+    * two 60-bit halves → 32 lanes) → 16 band buckets → distinct candidate
+    * pairs → est-jaccard verify. Mirrors
+    * Dedup.minhashLshPairs(laneHashes = portableLaneHashes(32)) exactly. */
   private val minhashOracleSql: String = {
-    val lane = hash60Sql("i || ':' || s")
+    val h1 = hexFoldSql("s", 1)
+    val h2 = hexFoldSql("s", 17)
     s"""WITH $toksCte, sh AS (
        |  SELECT doc_id, CASE WHEN len(tk) >= 2
        |    THEN list_distinct(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))
        |    ELSE [] END AS sh
        |  FROM toks
+       |), hp AS (
+       |  SELECT doc_id, list_transform(sh, s -> [$h1, $h2 >> 5]) AS hp FROM sh
        |), sig AS (
        |  SELECT doc_id, list_transform(range(0, 32), i ->
-       |    coalesce(list_min(list_transform(sh, s -> $lane)), 9223372036854775807)) AS sig
-       |  FROM sh
+       |    coalesce(list_min(list_transform(hp, p -> (p[1] + i * p[2]) & 1152921504606846975)), 9223372036854775807)) AS sig
+       |  FROM hp
        |), banded AS (
        |  SELECT doc_id, sig, b, array_to_string(sig[b*2+1:b*2+2], ',') AS h
        |  FROM sig, unnest(range(0, 16)) AS t(b)
@@ -623,10 +636,70 @@ object SparkEntry {
        |)
        |SELECT page_id, d AS h FROM hil WHERE s = 0 ORDER BY h, page_id""".stripMargin
 
+  /** e_ann_lsh oracle: quantize → integer dot vs the literal plane matrix →
+    * 16-bit signature → 8×2-bit band buckets → distinct candidates →
+    * cosine rank. Mirrors Similarity.annTopK(lshSignatureQuantized). */
+  private val annOracleSql: String = {
+    val sigTerms = AnnPlanes.zipWithIndex.map { case (row, p) =>
+      val lits = row.mkString("[", ",", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, 65), j -> qv[j] * ($lits)[j])) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), sigs AS (
+       |  SELECT vec_id, v, CAST($sigTerms AS BIGINT) AS sig FROM base
+       |), banded AS (
+       |  SELECT vec_id, v, sig, b, (sig >> CAST(b * 2 AS INT)) & 3 AS bv
+       |  FROM sigs, unnest(range(0, 8)) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, d.vec_id AS vec_id
+       |  FROM banded d JOIN banded q ON d.b = q.b AND d.bv = q.bv
+       |  WHERE d.vec_id >= 5 AND q.vec_id < 5
+       |)
+       |SELECT q_id, sim_rank, vec_id FROM (
+       |  SELECT c.q_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_cosine_similarity(d.v, q.v) DESC, c.vec_id ASC) AS sim_rank
+       |  FROM cand c
+       |  JOIN sigs d ON d.vec_id = c.vec_id
+       |  JOIN sigs q ON q.vec_id = c.q_id)
+       |WHERE sim_rank <= 3 ORDER BY q_id, sim_rank""".stripMargin
+  }
+
+  /** m_multimodal_decode oracle: the deterministic stub codec's 64-bit
+    * wraparound byte fold, reproduced with HUGEINT mod-2^64 arithmetic
+    * (documents are ASCII, so char ordinals == UTF-8 bytes). */
+  private val multimodalOracleSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |    list_transform(range(1, len(text) + 1), i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bs
+      |  FROM documents
+      |), hh AS (
+      |  SELECT doc_id, n_bytes,
+      |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bs),
+      |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS u
+      |  FROM ch
+      |), sh AS (
+      |  SELECT doc_id, n_bytes,
+      |    u - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+      |             THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS h,
+      |    (u // 256) - CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+      |             THEN CAST(72057594037927936 AS HUGEINT) ELSE 0 END AS hs
+      |  FROM hh
+      |)
+      |SELECT CAST(doc_id AS BIGINT) AS id, n_bytes,
+      |  CAST(16 + ((h % 240) + 240) % 240 AS INT) AS width,
+      |  CAST(16 + ((hs % 240) + 240) % 240 AS INT) AS height
+      |FROM sh ORDER BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "d_minhash_pairs" -> minhashOracleSql,
     "d_simhash_pairs" -> simhashOracleSql,
     "s_hilbert_order" -> hilbertOracleSql,
+    "e_ann_lsh" -> annOracleSql,
+    "m_multimodal_decode" -> multimodalOracleSql,
 
     "d_fingerprint" ->
       """SELECT doc_id,

@@ -49,11 +49,10 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
-  /** Default (engine-internal) MinHash lane hash: xxhash64 seeded by lane. */
-  def xxLaneHash(i: Int, s: Column): Column = xxhash64(lit(i), s)
-
-  /** Oracle-portable lane hash: 60-bit md5 fold of "lane:shingle". */
-  def portableLaneHash(i: Int, s: Column): Column = hash60(concat(lit(s"$i:"), s))
+  /** Default (engine-internal) lane-hash family: per-lane xxhash64 —
+    * element → array of `n` lane hashes. */
+  def xxLaneHashes(n: Int)(s: Column): Column =
+    array((0 until n).map(i => xxhash64(lit(i), s)): _*)
 
   /** MinHash signature over an ALREADY-MATERIALIZED shingle-array column —
     * SINGLE PASS: one `aggregate` carries an array<long> accumulator of
@@ -63,14 +62,38 @@ object Dedup {
     * Catalyst's CollapseProject inlines a non-materialized shingle subtree
     * into every lane; callers must still cache/checkpoint the shingle
     * column.) Empty shingle arrays yield Long.MaxValue lanes. */
-  def minhashSignatureFromShingles(sh: Column, numHashes: Int,
-                                   laneHash: (Int, Column) => Column = xxLaneHash): Column =
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int): Column =
     aggregate(
       sh,
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc,
-        array((0 until numHashes).map(i => laneHash(i, s)): _*),
+      (acc, s) => zip_with(acc, xxLaneHashes(numHashes)(s), (a, h) => least(a, h)))
+
+  /** Oracle-portable MinHash signature via Kirsch–Mitzenmacher double
+    * hashing: ONE md5 per shingle yields two independent 60-bit halves
+    * (h1 = hex chars 1-15, h2 = chars 17-31 >> 5), lane_i =
+    * (h1 + i·h2) & (2^60 − 1) — the standard k-hashes-from-2 construction,
+    * overflow-free in 63 bits and reproducible in DuckDB.
+    *
+    * The (h1, h2) pair is materialized per element by a dedicated
+    * `transform` BEFORE the aggregate: lambda bodies get no common-
+    * subexpression elimination, so an md5 referenced inside the per-lane
+    * lambda would re-hash the shingle once per lane (measured: 25 s vs
+    * ~3 s at sf0.1). */
+  def minhashSignaturePortable(sh: Column, numHashes: Int): Column = {
+    val hp = transform(sh, s => {
+      val m = md5(to_binary(s, lit("utf-8")))
+      array(conv(substring(m, 1, 15), 16, 10).cast("long"),
+        shiftright(conv(substring(m, 17, 15), 16, 10).cast("long"), 5))
+    })
+    aggregate(
+      hp,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, p) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => (element_at(p, 1) + i.cast("long") * element_at(p, 2))
+            .bitwiseAND(lit((1L << 60) - 1))),
         (a, h) => least(a, h)))
+  }
 
   /** Convenience single-expression form (fine for one-off use; see the
     * CollapseProject warning above for hot paths). */
@@ -96,7 +119,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
-                      laneHash: (Int, Column) => Column = xxLaneHash): DataFrame = {
+                      signature: (Column, Int) => Column = minhashSignatureFromShingles): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // materialization barrier: the shingle array feeds the signature
@@ -105,7 +128,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("_id"),
       shingles(col(textCol), shingleLen).as("_sh")).cache()
     val sig = sh.select(col("_id"),
-      minhashSignatureFromShingles(col("_sh"), numHashes, laneHash).as("_sig"))
+      signature(col("_sh"), numHashes).as("_sig"))
       .cache()
     val banded = sig.withColumn("_band",
         explode(transform(sequence(lit(0), lit(bands - 1)),

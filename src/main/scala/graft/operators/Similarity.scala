@@ -67,20 +67,50 @@ object Similarity {
     sig.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Deterministic ±1 hyperplane matrix — literal constants derived from
+    * md5 once at PLAN time, so the identical matrix can be embedded in a
+    * DuckDB oracle verbatim. */
+  def planeMatrix(nPlanes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+
+  /** Oracle-portable LSH signature: the vector is quantized to exact
+    * integers (round(x · 10^6) as long), projections are INTEGER dot
+    * products against a literal ±1 plane matrix — bit-identical across
+    * engines (no float-summation-order hazard), and still a valid
+    * sign-random-projection family. */
+  def lshSignatureQuantized(vec: Column, planes: Array[Array[Int]]): Column = {
+    val qv = transform(vec, x => round(x.cast("double") * 1000000d).cast("long"))
+    val bits = planes.zipWithIndex.map { case (row, p) =>
+      val proj = aggregate(
+        zip_with(qv, array(row.map(v => lit(v.toLong)): _*), (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** ANN top-k: candidates = data rows sharing a signature band with the
     * query (banded like MinHash-LSH to boost recall), cosine-ranked.
     * Recall < 1 by construction; the companion spec measures it against
-    * bruteForceTopK. */
+    * bruteForceTopK. Pass `signature` = lshSignatureQuantized(_, planes)
+    * for the oracle-reproducible variant. */
   def annTopK(data: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 16, bands: Int = 4,
               dataIdCol: String = "vec_id", dataVecCol: String = "embedding",
-              qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+              qIdCol: String = "q_id", qVecCol: String = "q_vec",
+              signature: Column => Column = null): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nPlanes % bands == 0)
     val bandBits = nPlanes / bands
     val mask = (1L << bandBits) - 1
+    val sigOf: Column => Column =
+      Option(signature).getOrElse((v: Column) => lshSignature(v, nPlanes))
     def banded(df: DataFrame, vecCol: String, prefix: String): DataFrame =
-      df.withColumn(s"${prefix}sig", lshSignature(col(vecCol), nPlanes))
+      df.withColumn(s"${prefix}sig", sigOf(col(vecCol)))
         .withColumn("_band", explode(array((0 until bands).map { b =>
           struct(lit(b).as("b"),
             shiftright(col(s"${prefix}sig"), b * bandBits).bitwiseAND(lit(mask)).as("v"))

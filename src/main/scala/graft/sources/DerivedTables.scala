@@ -35,10 +35,18 @@ object DerivedTables {
     spark.read.parquet(s"$dir/region.parquet")
   def part(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/part.parquet")
+  /** The sf fixtures are single small parquet files — ONE scan split, so
+    * without this every text/embedding operator runs single-threaded
+    * (measured: 5 s to shingle 5000 docs on one core of 32). Real corpora
+    * arrive as thousands of row groups; the round-robin repartition
+    * emulates that layout at test scale. (The tiny shuffle is the whole
+    * table — KBs here; on real multi-split input, drop it.) */
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 

@@ -13,12 +13,14 @@ object QueryProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
-    // warm
+    // cold first (what the driver bench pays), then warm
+    val tc0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val cold = (System.nanoTime() - tc0) / 1e9
     val t0 = System.nanoTime()
     val df = fn(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
-    println(f"QUERY=$name TIME=${(System.nanoTime() - t0) / 1e9}%.3f")
+    println(f"QUERY=$name COLD=$cold%.3f TIME=${(System.nanoTime() - t0) / 1e9}%.3f")
     println(df.queryExecution.executedPlan.toString.take(6000))
     spark.stop()
   }

@@ -133,7 +133,7 @@ class DedupSpec extends SparkTestBase {
     // w.r.t. their own signatures; planted exact dups must appear in both
     val portable = Dedup.minhashLshPairs(docs, "text", "doc_id",
       shingleLen = 3, numHashes = 32, bands = 16, threshold = 0.9,
-      laneHash = Dedup.portableLaneHash)
+      signature = Dedup.minhashSignaturePortable)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     (0 until 30).foreach { i =>
       val pair = ((i * 7 % 300).toLong, 1000L + i)

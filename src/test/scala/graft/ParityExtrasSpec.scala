@@ -110,6 +110,31 @@ class ParityExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("S2 deep-level anchors: the reference's real Monaco S2 tokens decode onto Monaco") {
+    // tests/base/test_cli.py:429-442 filters Monaco with REAL S2 tokens
+    // 12cdc28bc (level 15) and 12cdc28f (level 14). If the bit layout,
+    // Hilbert orientation, or quadratic ST<->UV transform were wrong, these
+    // tokens would decode to a different place on Earth entirely — landing
+    // on the ~300 m Monaco cells is a deep-level fidelity check against
+    // production S2, not mere self-consistency.
+    val monaco = (7.416486, 43.731087, 7.421931, 43.733707) // conftest bbox (r6)
+    val id15 = S2Like.tokenToId("12cdc28bc")
+    assert(S2Like.level(id15) == 15)
+    val (x0, y0, x1, y1) = Wkb.envelope(S2Like.tokenToPolygonWkb("12cdc28bc"))
+    // the level-15 cell sits in central Monaco (sub-degree tolerance is
+    // already diagnostic; assert the tight box it actually occupies)
+    assert(x0 > 7.41 && x1 < 7.43 && y0 > 43.72 && y1 < 43.75,
+      s"12cdc28bc decoded to ($x0,$y0,$x1,$y1)")
+    val id14 = S2Like.tokenToId("12cdc28f")
+    assert(S2Like.level(id14) == 14)
+    val (a0, b0, a1, b1) = Wkb.envelope(S2Like.tokenToPolygonWkb("12cdc28f"))
+    // overlaps the Monaco conftest bbox
+    assert(a0 < monaco._3 && a1 > monaco._1 && b0 < monaco._4 && b1 > monaco._2,
+      s"12cdc28f decoded to ($a0,$b0,$a1,$b1)")
+    // encoding Monaco's center reproduces the same cell lineage
+    assert(S2Like.idToToken(S2Like.latLngToId(43.7375, 7.4205, 15)) == "12cdc28bc")
+  }
+
   test("S2 level-0 face cells match the documented S2 token anchors") {
     // in real S2, the six level-0 face cells have tokens 1,3,5,7,9,b and
     // contain the face-center directions

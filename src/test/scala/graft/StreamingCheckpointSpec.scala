@@ -101,6 +101,64 @@ class StreamingCheckpointSpec extends SparkTestBase {
     assert(total == pts.count())
   }
 
+  test("crash-resume does not duplicate rows (orphan partition data is overwritten)") {
+    // ADVICE regression: simulate a crash AFTER the parquet write of a
+    // partition but BEFORE its manifest entry landed — the orphan data
+    // must be replaced on resume (dynamic partition overwrite), not
+    // appended to.
+    import graft.functions.geofunctions._
+    val base = "/root/repo/target/ckpt_crash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val pts = sources.DerivedTables.pages(spark, sfDir)
+      .select($"page_id", $"lat", $"lng")
+      .withColumn("prefix", cell_parent(cell_encode($"lat", $"lng", 8), 2))
+    val allPrefixes = pts.select($"prefix").distinct().as[Long].collect().toSeq.sorted
+    def build(missing: Seq[Long]) =
+      pts.where($"prefix".isin(missing.map(Long.box): _*))
+    // full run, then forge the crash: remove one prefix from the manifest
+    graft.operators.Checkpoint.stageByPartition(spark, base, "geo", "prefix", allPrefixes)(build)
+    val partsFile = Paths.get(base, "geo", "_PARTS.json")
+    val victim = allPrefixes.last
+    val truncated = Files.readString(partsFile).split("\n")
+      .filterNot(_.startsWith(s"$victim,")).mkString("\n")
+    Files.writeString(partsFile, truncated)
+    // resume: the victim partition's data is already on disk (the "crash"
+    // happened after its write) — the rebuild must not double it
+    val out = graft.operators.Checkpoint.stageByPartition(spark, base, "geo", "prefix", allPrefixes)(build)
+    assert(out.count() == pts.count(), "crash-resume duplicated rows")
+    assert(out.where($"prefix" === victim).count() ==
+      pts.where($"prefix" === victim).count())
+  }
+
+  test("sessionize timeout closes the idle user's open session and clears state") {
+    // ADVICE regression: the hasTimedOut path must emit the open session
+    // and release its state (unbounded-state fix).
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{Event, SessionOut, SessionState}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val open = SessionState(sessionId = 2L, lastUs = 999L, nEvents = 4L, cents = 700L)
+    val timedOut = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.of(open),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = StreamOps.sessionizeGroup(7L, Iterator.empty, timedOut).toSeq
+    assert(out == Seq(SessionOut(7L, 2L, 4L, 700L)))
+    assert(timedOut.isRemoved, "state must be cleared on timeout")
+    // and a normal (non-timeout) call re-arms the timeout
+    val fresh = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty[SessionState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out2 = StreamOps.sessionizeGroup(7L,
+      Iterator(Event(1L, 7L, 1000L, 1.0)), fresh).toSeq
+    assert(out2.isEmpty && fresh.exists)
+    assert(fresh.getTimeoutTimestampMs.isPresent, "timeout must be re-armed")
+  }
+
   test("checkpoint stage: second run skips recompute (manifest-gated resume)") {
     val base = "/root/repo/target/ckpt_test"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
