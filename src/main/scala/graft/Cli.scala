@@ -29,7 +29,9 @@ object Cli {
                   filters: Seq[(String, String, Any)] = Nil,
                   columns: Option[Seq[String]] = None,
                   sort: Boolean = false,
-                  latCol: String = "lat", lngCol: String = "lng")
+                  latCol: String = "lat", lngCol: String = "lng",
+                  compression: String = "zstd",
+                  compressionLevel: Option[Int] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -64,6 +66,9 @@ object Cli {
         case "--sort" => a = a.copy(sort = true); i += 1
         case "--lat-col" => a = a.copy(latCol = argv(i + 1)); i += 2
         case "--lng-col" => a = a.copy(lngCol = argv(i + 1)); i += 2
+        case "--compression" => a = a.copy(compression = argv(i + 1)); i += 2
+        case "--compression-level" =>
+          a = a.copy(compressionLevel = Some(argv(i + 1).toInt)); i += 2
         case other => throw new IllegalArgumentException(s"unknown argument '$other'")
       }
     }
@@ -114,8 +119,10 @@ object Cli {
     val out = run(spark, a)
     if (a.sort) {
       val env = a.geom.map { case (_, w) => Wkb.envelope(w) }.getOrElse((-180.0, -90.0, 180.0, 90.0))
-      SortedSink.writeHilbertSorted(out, a.output, a.latCol, a.lngCol, env)
-    } else SortedSink.writeCompact(out, a.output)
+      SortedSink.writeHilbertSorted(out, a.output, a.latCol, a.lngCol, env,
+        compression = a.compression, compressionLevel = a.compressionLevel)
+    } else SortedSink.writeCompact(out, a.output,
+      compression = a.compression, compressionLevel = a.compressionLevel)
     println(s"wrote ${spark.read.parquet(a.output).count()} rows to ${a.output}")
     spark.stop()
   }

@@ -27,6 +27,17 @@ object StreamOps {
       .select(unix_timestamp(col("window.start")).as("bucket"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Streaming spatial join — the north-star ingestion shape: geotagged
+    * pages arrive as a STREAM and join against the static polygon
+    * dimension. Stream-static inner joins are stateless (no watermark, no
+    * state store): each micro-batch runs the identical cell-encode →
+    * broadcast cell join → exact ray-cast refine plan as the batch
+    * flagship, so the 10^12-scale properties (points side never shuffled)
+    * carry over verbatim. Parity with the batch join is asserted in
+    * StreamingCheckpointSpec. */
+  def spatialJoinStream(pages: DataFrame, polys: DataFrame, res: Int): DataFrame =
+    graft.operators.SpatialJoin.pointsInPolygons(pages, polys, res)
+
   case class Event(event_id: Long, user_id: Long, ts_us: Long, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, cents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, value_cents: Long)

@@ -70,6 +70,30 @@ class StreamingCheckpointSpec extends SparkTestBase {
     assert(closed.nonEmpty)
   }
 
+  test("streaming spatial join (stream-static broadcast) == batch flagship join") {
+    val streamDir = Paths.get("/root/repo/target/stream_pages")
+    org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
+    Files.createDirectories(streamDir)
+    // materialize the derived pages as the stream source
+    val pages = sources.DerivedTables.pages(spark, sfDir).select("page_id", "lat", "lng")
+    pages.coalesce(2).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val polys = sources.DerivedTables.polygons(spark, sfDir)
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val joined = graft.streaming.StreamOps.spatialJoinStream(stream, polys, res = 5)
+      .select(col("poly_id"), col("page_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("spatial_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("spatial_stream_out")
+      .as[(Long, Long)].collect().toSet
+    val exp = graft.operators.SpatialJoin.pointsInPolygons(pages, polys, res = 5)
+      .select(col("poly_id"), col("page_id")).as[(Long, Long)].collect().toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+  }
+
   test("partition-granular resume: only missing cell prefixes are rebuilt") {
     import graft.functions.geofunctions._
     val base = "/root/repo/target/ckpt_parts"
