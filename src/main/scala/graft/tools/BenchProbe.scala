@@ -18,7 +18,9 @@ object BenchProbe {
   def go(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
-    val input = "/root/repo/target/bench_pages_rep1024-_root_testdata_sf0.1"
+    // the bench's default materialized input (see Bench.materializeInput)
+    val input = sys.env.getOrElse("SPARK_GRAFT_PROBE_INPUT",
+      "/root/repo/target/bench_pages_rep768-_root_testdata_sf0.1")
     val sfDir = "/root/testdata/sf0.1"
     for (cores <- Seq(32, 8)) {
       val spark = session(cores, "")
