@@ -208,26 +208,56 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs sharing at least
-    * one shingle. Classic IR plan: (id, shingle) distinct → self-join on
-    * shingle → |A∩B| per pair → join per-doc set sizes → J = ∩/(|A|+|B|−∩).
-    * `maxShingleFreq` drops ubiquitous shingles before the self-join (the
-    * standard stop-shingle guard: a shingle in f docs makes f² pairs).
-    * NOTE: the guard silently caps candidates — pairs connected ONLY
-    * through dropped stop-shingles are not emitted; callers choose the
-    * frequency bound accordingly. */
+  /** Exact n-gram Jaccard self-join with PREFIX FILTERING (Bayardo/
+    * Chaudhuri et al. — the published exact algorithm for threshold
+    * similarity joins). Results are identical to the naive
+    * all-pairs-sharing-a-shingle plan; only the CANDIDATE generation
+    * shrinks:
+    *
+    *  1. (id, shingle) distinct, stop-shingle guard (`maxShingleFreq` —
+    *     this one DOES change semantics and defaults high; prefix
+    *     filtering below is what actually tames the blowup, exactly);
+    *  2. global total order on shingles: rarest first (freq asc, shingle
+    *     asc) — rare shingles generate few candidate pairs;
+    *  3. per doc keep only the PREFIX of its ordered shingle set, length
+    *     n − ⌈t·n⌉ + 1. Proof sketch: J(A,B) ≥ t forces overlap
+    *     o ≥ t·(|A|+|B|)/(1+t) ≥ t·|A| (using |B| ≥ t·|A|); if A and B
+    *     shared nothing in A's prefix, all common shingles would sit in
+    *     A's suffix of size ⌈t·|A|⌉ − 1 < t·|A| — contradiction. With a
+    *     consistent global order the first common shingle lies in BOTH
+    *     prefixes, so joining prefix-to-prefix is complete;
+    *  4. candidates also pass the size filter min(n) ≥ t·max(n);
+    *  5. exact overlap is then counted ONLY for candidate pairs (the
+    *     candidate list is dimension-sized and broadcast).
+    */
+  /** Plan dispatch: the prefix filter prunes candidates by a factor of
+    * ~(1−t), so it wins for the dedup-typical thresholds (t ≥ ~0.4); at
+    * low thresholds the prefix is nearly the whole set and the classic
+    * inverted-index count plan is cheaper. Both are exact — proven equal
+    * in DedupSpec. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleLen: Int = 3, threshold: Double = 0.5,
-                        maxShingleFreq: Long = 1000): DataFrame = {
+                        maxShingleFreq: Long = 1000): DataFrame =
+    if (threshold >= 0.4)
+      ngramJaccardPairsPrefix(df, textCol, idCol, shingleLen, threshold, maxShingleFreq)
+    else
+      ngramJaccardPairsInverted(df, textCol, idCol, shingleLen, threshold, maxShingleFreq)
+
+  /** Classic inverted-index plan: self-join on shingle → per-pair overlap
+    * count (map-side partial) → size join → J filter. Candidates = every
+    * pair sharing ANY (non-stop) shingle. */
+  def ngramJaccardPairsInverted(df: DataFrame, textCol: String, idCol: String,
+                                shingleLen: Int, threshold: Double,
+                                maxShingleFreq: Long): DataFrame = {
     val ds = df.select(col(idCol).as("_id"),
         explode(shingles(col(textCol), shingleLen)).as("_sh"))
       .distinct()
-      .cache() // reused 3×: sizes, frequency filter, self-join (both sides)
-    val sizes = ds.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+      .cache() // reused: sizes, frequency filter, self-join (both sides)
     val filtered = ds.join(
       ds.groupBy(col("_sh")).agg(count(lit(1)).as("_f"))
         .where(col("_f") <= maxShingleFreq).select("_sh"),
       Seq("_sh"))
+    val sizes = filtered.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val inter = filtered.select(col("_id").as("id_a"), col("_sh"))
       .join(filtered.select(col("_id").as("id_b"), col("_sh")), Seq("_sh"))
       .where(col("id_a") < col("id_b"))
@@ -237,6 +267,48 @@ object Dedup {
       .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Prefix-filter plan (see the theorem sketch above). */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+                              shingleLen: Int, threshold: Double,
+                              maxShingleFreq: Long): DataFrame = {
+    val ds = df.select(col(idCol).as("_id"),
+        explode(shingles(col(textCol), shingleLen)).as("_sh"))
+      .distinct()
+    val freq = ds.groupBy(col("_sh")).agg(count(lit(1)).as("_f"))
+      .where(col("_f") <= maxShingleFreq)
+    // per-doc shingle set ordered rarest-first (global total order:
+    // freq asc, shingle asc), with its size
+    val perDoc = ds.join(freq, Seq("_sh"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_f"), col("_sh")))).as("_arr"),
+        count(lit(1)).as("_n"))
+      .cache() // reused: prefix explode + per-pair exact intersection
+    // prefix of length n − ⌈t·n⌉ + 1 (complete by the prefix-filter theorem)
+    val prefixLen = (col("_n") - ceil(col("_n") * lit(threshold)) + 1).cast("int")
+    val prefix = perDoc
+      .select(col("_id"), col("_n"),
+        explode(slice(transform(col("_arr"), x => x("_sh")), lit(1), prefixLen)).as("_sh"))
+    val cand = prefix.select(col("_id").as("id_a"), col("_n").as("_na"), col("_sh"))
+      .join(prefix.select(col("_id").as("id_b"), col("_n").as("_nb"), col("_sh")), Seq("_sh"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("_na"), col("_nb")) >= lit(threshold) * greatest(col("_na"), col("_nb")))
+      .select(col("id_a"), col("id_b"), col("_na"), col("_nb"))
+      .distinct()
+    // exact overlap ONLY for the (dimension-sized) candidate list: join the
+    // two full sets per pair and intersect in-expression — no shuffle
+    // explosion, O(|A|+|B|) per candidate
+    val sets = perDoc.select(col("_id"),
+      transform(col("_arr"), x => x("_sh")).as("_set"))
+    cand
+      .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), Seq("id_a"))
+      .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("_seta"), col("_setb"))).cast("double") /
+          (col("_na") + col("_nb") - size(array_intersect(col("_seta"), col("_setb")))))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

@@ -58,6 +58,17 @@ class DedupSpec extends SparkTestBase {
     assert(exp.size >= 30, s"oracle should contain the planted dups, got ${exp.size}")
   }
 
+  test("prefix-filter and inverted-index jaccard plans produce identical pairs") {
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val a = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, t, 100000)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val b = Dedup.ngramJaccardPairsInverted(docs, "text", "doc_id", 3, t, 100000)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(a == b, s"plans disagree at t=$t")
+      assert(a.nonEmpty)
+    }
+  }
+
   test("minhashLshPairs recalls high-similarity pairs (est-jaccard agreement)") {
     val got = Dedup.minhashLshPairs(docs, "text", "doc_id",
       shingleLen = 3, numHashes = 64, bands = 32, threshold = 0.4)
