@@ -249,6 +249,23 @@ object SparkEntry {
         .orderBy(col("tile_x"), col("tile_y"))
     }),
 
+    "s_tile_vectorize" -> ((s, d) => {
+      // raster→vector: classify the z=5 tile raster by density, then
+      // RLE-merge x-adjacent same-class tiles into vector rectangles with
+      // EXACT integer web-mercator lng bounds (360e6/2^5 = 11_250_000
+      // µdeg per tile — integral, so both engines agree bit-for-bit)
+      val raster = pages(s, d)
+        .groupBy(tile_x(col("lng"), 5).as("tile_x"), tile_y(col("lat"), 5).as("tile_y"))
+        .agg(count(lit(1)).as("n_pages"))
+        .withColumn("density",
+          when(col("n_pages") >= 200, "dense")
+            .when(col("n_pages") >= 50, "mid").otherwise(lit("sparse")))
+      RasterVector.vectorizeRuns(raster, "tile_x", "tile_y", "density", "n_pages")
+        .withColumn("lng_w_e6", col("x_min") * 11250000L - 180000000L)
+        .withColumn("lng_e_e6", (col("x_max") + 1L) * 11250000L - 180000000L)
+        .orderBy(col("tile_y"), col("x_min"))
+    }),
+
     "s_cell_agg" -> ((s, d) => {
       // cell-encode (batched Expression) → grid x/y → counts, res 6
       val c = cell_encode(col("lat"), col("lng"), 6)
@@ -453,6 +470,28 @@ object SparkEntry {
         .orderBy(col("q_id"), col("sim_rank"))
     }),
 
+    "e_ann_ivf" -> ((s, d) => {
+      // IVF ANN: Voronoi cells around a deterministic centroid sample
+      // (every 50th id); data assigned by a narrow argmax expression,
+      // queries probe their 3 nearest cells, candidates equi-join on cell
+      val emb = embeddings(s, d)
+      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", stride = 50)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(emb.where(col("vec_id") >= 5), qs, cents, k = 3, nProbe = 3)
+        .select(col("q_id"), col("sim_rank"), col("vec_id"))
+        .orderBy(col("q_id"), col("sim_rank"))
+    }),
+
+    "d_embed_neardup" -> ((s, d) => {
+      // embedding-cosine near-dup pairs: banded-LSH candidates + EXACT
+      // integer threshold verify (cos >= 0.4 ⟺ dot>0 ∧ 25·dot² ≥ 4·‖a‖²‖b‖²
+      // on the 10^-6-quantized vectors — bit-reproducible in DuckDB HUGEINT)
+      Dedup.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",
+        t2n = 4, t2d = 25, planes = AnnPlanes, bands = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ===== events: time-window aggregation + sessionization =====
     "ev_window" -> ((s, d) => {
       events(s, d)
@@ -636,14 +675,20 @@ object SparkEntry {
        |)
        |SELECT page_id, d AS h FROM hil WHERE s = 0 ORDER BY h, page_id""".stripMargin
 
+  /** SQL rendering of the 16-bit quantized hyperplane signature against the
+    * literal AnnPlanes matrix (expects a `qv` BIGINT[] column in scope) —
+    * shared verbatim by the e_ann_lsh and d_embed_neardup oracles. */
+  private lazy val annSigTermsSql: String =
+    AnnPlanes.zipWithIndex.map { case (row, p) =>
+      val lits = row.mkString("[", ",", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, 65), j -> qv[j] * ($lits)[j])) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+
   /** e_ann_lsh oracle: quantize → integer dot vs the literal plane matrix →
     * 16-bit signature → 8×2-bit band buckets → distinct candidates →
     * cosine rank. Mirrors Similarity.annTopK(lshSignatureQuantized). */
   private val annOracleSql: String = {
-    val sigTerms = AnnPlanes.zipWithIndex.map { case (row, p) =>
-      val lits = row.mkString("[", ",", "]")
-      s"CASE WHEN list_sum(list_transform(range(1, 65), j -> qv[j] * ($lits)[j])) > 0 THEN ${1 << p} ELSE 0 END"
-    }.mkString(" + ")
+    val sigTerms = annSigTermsSql
     s"""WITH base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
@@ -667,6 +712,67 @@ object SparkEntry {
        |  JOIN sigs q ON q.vec_id = c.q_id)
        |WHERE sim_rank <= 3 ORDER BY q_id, sim_rank""".stripMargin
   }
+
+  /** d_embed_neardup oracle: the identical banded-LSH candidate generation,
+    * then the EXACT integer cosine-threshold test in HUGEINT (mirrors the
+    * engine's DECIMAL(38,0) arithmetic bit-for-bit): cos ≥ 0.4 ⟺
+    * dot > 0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖² on round(x·10^6) vectors. */
+  private val embedNearDupOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), sigs AS (
+       |  SELECT vec_id, qv, CAST($annSigTermsSql AS BIGINT) AS sig,
+       |    list_sum(list_transform(range(1, 65), j -> CAST(qv[j] AS HUGEINT) * qv[j])) AS n2
+       |  FROM base
+       |), banded AS (
+       |  SELECT vec_id, b, (sig >> CAST(b * 2 AS INT)) & 3 AS bv
+       |  FROM sigs, unnest(range(0, 8)) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
+       |), scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    list_sum(list_transform(range(1, 65), j -> CAST(x.qv[j] AS HUGEINT) * y.qv[j])) AS dot,
+       |    x.n2 AS na, y.n2 AS nb
+       |  FROM cand c JOIN sigs x ON x.vec_id = c.id_a JOIN sigs y ON y.vec_id = c.id_b
+       |)
+       |SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q FROM scored
+       |WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** e_ann_ivf oracle: same deterministic centroid rule (every 50th id),
+    * nearest-centroid assignment and 3-cell probes via cosine argmax
+    * (ties → lower centroid id), candidates joined on the cell, exact
+    * cosine rank. Mirrors Similarity.ivfTopK. */
+  private val ivfOracleSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+      |), cents AS (
+      |  SELECT vec_id AS cid, dv AS cv FROM v WHERE vec_id % 50 = 0
+      |), assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT d.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY list_cosine_similarity(d.dv, c.cv) DESC, c.cid ASC) AS rn
+      |    FROM v d, cents c WHERE d.vec_id >= 5)
+      |  WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS q_id, cid FROM (
+      |    SELECT q.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.dv, c.cv) DESC, c.cid ASC) AS rn
+      |    FROM v q, cents c WHERE q.vec_id < 5)
+      |  WHERE rn <= 3
+      |)
+      |SELECT q_id, sim_rank, vec_id FROM (
+      |  SELECT p.q_id, a.vec_id,
+      |    row_number() OVER (PARTITION BY p.q_id
+      |      ORDER BY list_cosine_similarity(d.dv, q.dv) DESC, a.vec_id ASC) AS sim_rank
+      |  FROM probes p JOIN assign a ON a.cid = p.cid
+      |  JOIN v d ON d.vec_id = a.vec_id JOIN v q ON q.vec_id = p.q_id)
+      |WHERE sim_rank <= 3 ORDER BY q_id, sim_rank""".stripMargin
 
   /** m_multimodal_decode oracle: the deterministic stub codec's 64-bit
     * wraparound byte fold, reproduced with HUGEINT mod-2^64 arithmetic
@@ -699,6 +805,8 @@ object SparkEntry {
     "d_simhash_pairs" -> simhashOracleSql,
     "s_hilbert_order" -> hilbertOracleSql,
     "e_ann_lsh" -> annOracleSql,
+    "e_ann_ivf" -> ivfOracleSql,
+    "d_embed_neardup" -> embedNearDupOracleSql,
     "m_multimodal_decode" -> multimodalOracleSql,
 
     "d_fingerprint" ->
@@ -880,6 +988,32 @@ object SparkEntry {
          |  CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32), 0), 31) AS BIGINT) AS tile_y,
          |  count(*) AS n_pages
          |FROM pages GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s_tile_vectorize" ->
+      s"""WITH $P, raster AS (
+         |  SELECT CAST(least(greatest(floor((lng + 180.0) / 360.0 * 32), 0), 31) AS BIGINT) AS tile_x,
+         |    CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32), 0), 31) AS BIGINT) AS tile_y,
+         |    count(*) AS n_pages
+         |  FROM pages GROUP BY 1, 2
+         |), classed AS (
+         |  SELECT tile_x, tile_y, n_pages,
+         |    CASE WHEN n_pages >= 200 THEN 'dense' WHEN n_pages >= 50 THEN 'mid' ELSE 'sparse' END AS density
+         |  FROM raster
+         |), flagged AS (
+         |  SELECT tile_x, tile_y, n_pages, density,
+         |    CASE WHEN lag(tile_x) OVER w IS NULL OR tile_x != lag(tile_x) OVER w + 1
+         |         OR density != lag(density) OVER w THEN 1 ELSE 0 END AS new_run
+         |  FROM classed WINDOW w AS (PARTITION BY tile_y ORDER BY tile_x)
+         |), runs AS (
+         |  SELECT *, sum(new_run) OVER (PARTITION BY tile_y ORDER BY tile_x ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM flagged
+         |)
+         |SELECT tile_y, density, min(tile_x) AS x_min, max(tile_x) AS x_max,
+         |  count(*) AS n_tiles, CAST(sum(n_pages) AS BIGINT) AS value_sum,
+         |  min(tile_x) * 11250000 - 180000000 AS lng_w_e6,
+         |  (max(tile_x) + 1) * 11250000 - 180000000 AS lng_e_e6
+         |FROM runs GROUP BY tile_y, run_id, density
+         |ORDER BY tile_y, x_min""".stripMargin,
 
     "s_cell_agg" ->
       s"""WITH $P

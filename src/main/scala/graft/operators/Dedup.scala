@@ -311,4 +311,62 @@ object Dedup {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Embedding-cosine near-duplicate pairs (the vector analog of MinHash
+    * dedup, per the build brief's dedup inventory).
+    *
+    * Plan shape (never all-pairs):
+    *  1. narrow: quantize (round(x·10^6) as long) + random-hyperplane
+    *     signature per row ([[Similarity.lshSignatureQuantized]]);
+    *  2. explode to `bands` (band, band-bits) keys per row; candidate
+    *     pairs = rows sharing ≥1 band bucket — the self-join is equi-hash
+    *     on the band key (ids only cross the exchange; vectors are
+    *     re-joined per candidate afterwards, so the wide band shuffle
+    *     carries 16 bytes/row, not the embedding);
+    *  3. EXACT threshold verify in integer arithmetic: cos ≥ t ⟺
+    *     dot > 0 ∧ t2d·dot² ≥ t2n·‖a‖²·‖b‖² with t² = t2n/t2d, evaluated
+    *     in DECIMAL(38,0) (dot ≤ dim·(10^6)² ≈ 10^14 for unit-scale
+    *     embeddings, dot² ≈ 10^28 — 38 digits suffice), so the decision is
+    *     bit-reproducible in any 128-bit-integer engine (DuckDB: HUGEINT),
+    *     with no float-summation-order or sqrt-rounding hazard.
+    *
+    * Recall < 1 by construction (a true pair may share no band — measured
+    * against brute force in DedupSpec); precision is exact. Returns
+    * (id_a, id_b, dot_q) with id_a < id_b, dot_q = the integer dot. */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            t2n: Long, t2d: Long,
+                            planes: Array[Array[Int]], bands: Int): DataFrame = {
+    val nPlanes = planes.length
+    require(nPlanes % bands == 0, "bands must divide the plane count")
+    require(t2n >= 0 && t2d > 0 && t2n <= t2d, "need 0 <= t2n/t2d = t^2 <= 1")
+    val bandBits = nPlanes / bands
+    val mask = (1L << bandBits) - 1
+    val base = df.select(
+      col(idCol).as("_id"),
+      transform(col(vecCol), x => round(x.cast("double") * 1000000d).cast("long")).as("_qv"),
+      Similarity.lshSignatureQuantized(col(vecCol), planes).as("_sig"))
+      .withColumn("_n2",
+        aggregate(zip_with(col("_qv"), col("_qv"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+    val bandedIds = base.select(col("_id"), col("_sig"))
+      .withColumn("_band", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("v"))
+      }: _*)))
+      .select(col("_id"), col("_band"))
+    val cand = bandedIds.select(col("_id").as("id_a"), col("_band"))
+      .join(bandedIds.select(col("_id").as("id_b"), col("_band")), Seq("_band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    cand
+      .join(base.select(col("_id").as("id_a"), col("_qv").as("_qa"), col("_n2").as("_na")), Seq("id_a"))
+      .join(base.select(col("_id").as("id_b"), col("_qv").as("_qb"), col("_n2").as("_nb")), Seq("id_b"))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("_qa"), col("_qb"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .where(col("dot_q") > 0 &&
+        col("dot_q").cast(dec) * col("dot_q").cast(dec) * lit(t2d).cast(dec) >=
+          col("_na").cast(dec) * col("_nb").cast(dec) * lit(t2n).cast(dec))
+      .select(col("id_a"), col("id_b"), col("dot_q"))
+  }
 }

@@ -152,6 +152,53 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("embeddingNearDupPairs: exact precision and measured recall vs brute force") {
+    // clustered embeddings WITH planted near-dups (small perturbations)
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    val centroids = Array.fill(6, dim)(rnd.nextGaussian())
+    val base = (0L until 200L).map { i =>
+      i -> Array.tabulate(dim)(j => (centroids((i % 6).toInt)(j) + rnd.nextGaussian() * 0.3).toFloat)
+    }
+    val nearDups = (0 until 20).map { i =>
+      (1000L + i) -> base(i * 9 % 200)._2.map(x => x + rnd.nextGaussian().toFloat * 0.02f)
+    }
+    val vecs = base ++ nearDups
+    val df = vecs.toDF("vec_id", "embedding")
+    // threshold 0.9: t^2 = 81/100
+    val planes = graft.operators.Similarity.planeMatrix(16, dim)
+    val got = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id",
+      t2n = 81, t2d = 100, planes = planes, bands = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- 0 until dim) {
+        d += a(j).toDouble * b(j); na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truePairs = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    // precision is exact: every returned pair really clears the threshold
+    // (integer test on quantized vectors ⇒ allow only quantization-boundary
+    // slack, which the 0.9-vs-real-cosine margin of planted dups dwarfs)
+    got.foreach { case (a, b) =>
+      val c = cos(vecs.find(_._1 == a).get._2, vecs.find(_._1 == b).get._2)
+      assert(c >= 0.9 - 1e-5, s"pair ($a,$b) cosine $c below threshold")
+    }
+    // recall: banding may miss pairs sharing no band, but near-identical
+    // vectors agree on almost every plane — all planted dups must be found
+    val recall = truePairs.count(got.contains).toDouble / truePairs.size
+    assert(recall >= 0.95, s"recall $recall over ${truePairs.size} true pairs")
+    (0 until 20).foreach { i =>
+      val pair = ((i * 9 % 200).toLong, 1000L + i)
+      assert(got.contains(pair), s"missing planted near-dup $pair")
+    }
+  }
+
   test("tokens/shingles edge cases: empty text, single token, punctuation") {
     val df = Seq((1L, ""), (2L, "word"), (3L, "a-b c!d"), (4L, "  x  ")).toDF("id", "text")
     val rows = df.select($"id", Dedup.tokens($"text"), Dedup.shingles($"text", 3))

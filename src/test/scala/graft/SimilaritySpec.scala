@@ -63,4 +63,44 @@ class SimilaritySpec extends SparkTestBase {
       .select(Similarity.cosine($"a", $"b").as("c")).as[Double]
     assert(math.abs(df.head() - cosine(vecs(0)._2, vecs(1)._2)) < 1e-12)
   }
+
+  test("ivfTopK achieves high recall@5 with nProbe=3 and exact ranks within probed cells") {
+    val k = 5
+    // deterministic centroid sample: every 50th id (10 centroids)
+    val cents = Similarity.sampleCentroids(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", stride = 50)
+    assert(cents.size == 10)
+    val exact = bruteOracle(k)
+    val res = Similarity.ivfTopK(data, queries, cents, k, nProbe = 3)
+      .select($"q_id", $"sim_rank", $"vec_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    val got = res.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // recall vs brute force (IVF trades recall for candidate count)
+    val recalls = exact.map { case (q, ids) =>
+      ids.count(got.getOrElse(q, Array()).map(_._3).toSet.contains).toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean IVF recall@5 = $mean")
+    // within-result exactness: reported cosine matches the scalar oracle
+    // and ranks are (cosine desc, id asc)-ordered
+    val byId = vecs.toMap
+    res.foreach { case (q, _, d, c) =>
+      assert(math.abs(c - cosine(byId(d), byId(q))) < 1e-12)
+    }
+    got.values.foreach { rows =>
+      val ordered = rows.map(r => (-r._4, r._3)).toSeq
+      assert(ordered == ordered.sorted, "ranks must follow (cosine desc, id asc)")
+    }
+  }
+
+  test("ivfTopK with nProbe = all cells equals brute force exactly") {
+    val k = 5
+    val cents = Similarity.sampleCentroids(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", stride = 50)
+    // probing every cell ⇒ candidate set = full data ⇒ identical to brute force
+    val got = Similarity.ivfTopK(data, queries, cents, k, nProbe = cents.size)
+      .select($"q_id", $"sim_rank", $"vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got == bruteOracle(k))
+  }
 }
