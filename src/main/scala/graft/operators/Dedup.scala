@@ -341,12 +341,12 @@ object Dedup {
     require(t2n >= 0 && t2d > 0 && t2n <= t2d, "need 0 <= t2n/t2d = t^2 <= 1")
     val bandBits = nPlanes / bands
     val mask = (1L << bandBits) - 1
+    import graft.functions.VectorExpressions.vec_dot_long
     val base = df.select(
       col(idCol).as("_id"),
       transform(col(vecCol), x => round(x.cast("double") * 1000000d).cast("long")).as("_qv"),
       Similarity.lshSignatureQuantized(col(vecCol), planes).as("_sig"))
-      .withColumn("_n2",
-        aggregate(zip_with(col("_qv"), col("_qv"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("_n2", vec_dot_long(col("_qv"), col("_qv")))
     val bandedIds = base.select(col("_id"), col("_sig"))
       .withColumn("_band", explode(array((0 until bands).map { b =>
         struct(lit(b).as("b"),
@@ -359,14 +359,17 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // dot via the codegen'd vec_dot_long kernel: Spark's HOF form
+    // (aggregate+zip_with) is CodegenFallback (~µs/eval) AND gets inlined
+    // by CollapseProject into the filter 4× — the native expression makes
+    // even the inlined copies ~ns-cheap, so no barrier is needed.
+    val dot = vec_dot_long(col("_qa"), col("_qb"))
     cand
       .join(base.select(col("_id").as("id_a"), col("_qv").as("_qa"), col("_n2").as("_na")), Seq("id_a"))
       .join(base.select(col("_id").as("id_b"), col("_qv").as("_qb"), col("_n2").as("_nb")), Seq("id_b"))
-      .withColumn("dot_q",
-        aggregate(zip_with(col("_qa"), col("_qb"), (x, y) => x * y), lit(0L), (a, v) => a + v))
-      .where(col("dot_q") > 0 &&
-        col("dot_q").cast(dec) * col("dot_q").cast(dec) * lit(t2d).cast(dec) >=
+      .where(dot > 0 &&
+        dot.cast(dec) * dot.cast(dec) * lit(t2d).cast(dec) >=
           col("_na").cast(dec) * col("_nb").cast(dec) * lit(t2n).cast(dec))
-      .select(col("id_a"), col("id_b"), col("dot_q"))
+      .select(col("id_a"), col("id_b"), dot.as("dot_q"))
   }
 }

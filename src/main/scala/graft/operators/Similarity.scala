@@ -133,16 +133,13 @@ object Similarity {
       .select(col(qIdCol), col("sim_rank"), col(dataIdCol), col("cosine"))
   }
 
-  /** Centroid ranking as one narrow expression: an array of
-    * (−cosine, cent_id) structs sorted ascending — i.e. best centroid
-    * first (cosine desc, id asc tie-break). The centroid set is a
-    * plan-time literal (dimension-sized: k-means output at scale, a
-    * deterministic sample here), so ranking is a codegen'd projection —
-    * the 10^12-row side is never shuffled to discover its cell. */
-  private def centroidRank(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    array_sort(array(cents.map { case (cid, cv) =>
-      struct((-cosine(vec, array(cv.map(lit): _*))).as("negcos"), lit(cid).as("cid"))
-    }: _*))
+  /** Centroid ranking as one narrow codegen'd expression
+    * ([[graft.functions.VectorExpressions.NearestCentroids]]): the matrix
+    * rides as a plan reference object, so the 10^12-row side is never
+    * shuffled to discover its cell and the plan tree stays small (the
+    * k×3-HOF column form cost seconds of driver re-analysis at k=40). */
+  private def centroidRank(vec: Column, cents: Seq[(Long, Seq[Double])], n: Int): Column =
+    graft.functions.VectorExpressions.nearest_centroids(vec, cents, n)
 
   /** Deterministic centroid sample: every `stride`-th id. Collected to the
     * driver by design — the centroid set is the SMALL side (hundreds to
@@ -172,10 +169,9 @@ object Similarity {
     require(centroids.nonEmpty, "IVF needs a centroid set")
     require(nProbe >= 1 && nProbe <= centroids.size)
     val assigned = data.withColumn("_cell",
-      element_at(centroidRank(col(dataVecCol), centroids), 1).getField("cid"))
+      element_at(centroidRank(col(dataVecCol), centroids, 1), 1))
     val probed = queries.withColumn("_cell",
-      explode(transform(slice(centroidRank(col(qVecCol), centroids), 1, nProbe),
-        s => s.getField("cid"))))
+      explode(centroidRank(col(qVecCol), centroids, nProbe)))
     // a data row has exactly one cell, so a (query, data) pair can match at
     // most once — no dedup needed after the join
     val cand = assigned.join(broadcast(probed), Seq("_cell")).drop("_cell")

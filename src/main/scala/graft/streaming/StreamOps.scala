@@ -38,6 +38,24 @@ object StreamOps {
   def spatialJoinStream(pages: DataFrame, polys: DataFrame, res: Int): DataFrame =
     graft.operators.SpatialJoin.pointsInPolygons(pages, polys, res)
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exactDedupByHash]]: first occurrence of each
+    * content hash survives, late duplicates are dropped. The text is hashed
+    * down to 128 bits BEFORE the stateful operator (same reason as batch:
+    * the state store and shuffle carry hashes, not documents), and
+    * `dropDuplicatesWithinWatermark` bounds the state store — a duplicate
+    * arriving later than the watermark delay is passed through rather than
+    * remembered, which is THE scale contract for dedup over an unbounded
+    * stream (exact forever ⇒ unbounded state at 10^12 docs). Batch parity
+    * on in-watermark duplicates is asserted in StreamingCheckpointSpec. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(to_binary(col(textCol), lit("utf-8"))))
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   case class Event(event_id: Long, user_id: Long, ts_us: Long, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, cents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, value_cents: Long)

@@ -12,4 +12,15 @@ object graftbridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Register a SQL function on an ALREADY-BUILT session (the
+    * `withExtensions`/`spark.sql.extensions` path covers session build
+    * time; this covers notebooks/tests where the session pre-exists). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        builder)
 }

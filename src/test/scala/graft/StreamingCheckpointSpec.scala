@@ -94,6 +94,32 @@ class StreamingCheckpointSpec extends SparkTestBase {
     assert(exp.nonEmpty)
   }
 
+  test("streaming exact dedup (dropDuplicatesWithinWatermark) == batch dedup survivors") {
+    import graft.streaming.StreamOps
+    // documents table with planted duplicates: stream it and dedup by text
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val dupDir = Paths.get("/root/repo/target/stream_docs")
+    // write base + duplicated docs (same text, higher ids) as the stream input
+    docs.select(col("doc_id"), col("text"), col("ts"))
+      .unionByName(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("ts")))
+      .write.mode("overwrite").parquet(dupDir.toString)
+    val schema = spark.read.parquet(dupDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dupDir.toString)
+    val qname = "dedup_stream_out"
+    val q = StreamOps.dedupStream(stream, "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qname)
+    val input = spark.read.parquet(dupDir.toString)
+    // one survivor per distinct text; every text represented
+    assert(got.count() == input.select("text").distinct().count())
+    assert(got.select("text").distinct().count() == got.count())
+    assert(got.select(md5(to_binary(col("text"), lit("utf-8")))).distinct().count() == got.count())
+  }
+
   test("partition-granular resume: only missing cell prefixes are rebuilt") {
     import graft.functions.geofunctions._
     val base = "/root/repo/target/ckpt_parts"
