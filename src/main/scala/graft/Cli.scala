@@ -29,6 +29,7 @@ object Cli {
                   filters: Seq[(String, String, Any)] = Nil,
                   columns: Option[Seq[String]] = None,
                   sort: Boolean = false,
+                  geoparquet: Boolean = false,
                   latCol: String = "lat", lngCol: String = "lng",
                   compression: String = "zstd",
                   compressionLevel: Option[Int] = None)
@@ -64,6 +65,7 @@ object Cli {
           a = a.copy(filters = a.filters :+ ((parts(0), parts(1), value))); i += 2
         case "--columns" => a = a.copy(columns = Some(argv(i + 1).split(",").toSeq)); i += 2
         case "--sort" => a = a.copy(sort = true); i += 1
+        case "--geoparquet" => a = a.copy(geoparquet = true); i += 1
         case "--lat-col" => a = a.copy(latCol = argv(i + 1)); i += 2
         case "--lng-col" => a = a.copy(lngCol = argv(i + 1)); i += 2
         case "--compression" => a = a.copy(compression = argv(i + 1)); i += 2
@@ -123,6 +125,12 @@ object Cli {
         compression = a.compression, compressionLevel = a.compressionLevel)
     } else SortedSink.writeCompact(out, a.output,
       compression = a.compression, compressionLevel = a.compressionLevel)
+    if (a.geoparquet) {
+      // spec-compliant `geo` footer entry so geopandas/pyarrow readers
+      // (the reference's consumers, geopandas_io.py:12-28) see GeoParquet
+      val bbox = a.geom.map { case (_, w) => Wkb.envelope(w) }
+      operators.GeoParquetMeta.stampDirectory(spark, a.output, bbox = bbox)
+    }
     println(s"wrote ${spark.read.parquet(a.output).count()} rows to ${a.output}")
     spark.stop()
   }

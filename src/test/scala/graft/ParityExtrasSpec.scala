@@ -166,6 +166,45 @@ class ParityExtrasSpec extends SparkTestBase {
       s"sorted=${bytes(s"$base/sorted")} plain=${bytes(s"$base/plain")}")
   }
 
+  test("GeoParquet footer stamp: geo metadata present, rows byte-identical, spark-readable") {
+    import graft.operators.GeoParquetMeta
+    val pts = sources.DerivedTables.pages(spark, sfDir)
+      .select(col("page_id"), col("lat"), col("lng"),
+        graft.functions.GeomConstructors.box_wkb(
+          col("lng"), col("lat"), col("lng"), col("lat")).as("geometry"))
+    val dir = "/root/repo/target/geoparquet_test"
+    SortedSink.writeCompact(pts.repartition(3), dir)
+    def digest(): (Long, String) = {
+      val d = spark.read.parquet(dir)
+      val h = d.select(md5(concat_ws("|", col("page_id"),
+        format_number(col("lat"), 7), format_number(col("lng"), 7),
+        hex(col("geometry")))).as("h"))
+        .agg(sum(conv(substring(col("h"), 1, 15), 16, 10).cast("decimal(38,0)")))
+        .head().getDecimal(0).toString
+      (d.count(), h)
+    }
+    val before = digest()
+    val bbox = GeoParquetMeta.bboxOfPoints(pts, "lat", "lng")
+    val stamped = GeoParquetMeta.stampDirectory(spark, dir,
+      geometryTypes = Seq("Polygon"), bbox = Some(bbox))
+    assert(stamped == 3)
+    // stamp preserved every row and value (order-independent digest)
+    assert(digest() == before)
+    // geo entry parses to the spec shape
+    val geo = GeoParquetMeta.readGeo(spark, dir).getOrElse(fail("no geo key"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(geo)
+    assert(node.get("version").asText == GeoParquetMeta.SpecVersion)
+    assert(node.get("primary_column").asText == "geometry")
+    val gcol = node.get("columns").get("geometry")
+    assert(gcol.get("encoding").asText == "WKB")
+    assert(gcol.get("geometry_types").get(0).asText == "Polygon")
+    assert(gcol.get("bbox").size == 4)
+    assert(gcol.get("bbox").get(0).asDouble == bbox._1)
+    // re-stamping is idempotent (replaces the geo key, keeps data)
+    assert(GeoParquetMeta.stampDirectory(spark, dir) == 3)
+    assert(digest() == before)
+  }
+
   test("zstd compression level surface: level 22 output strictly smaller than level 3") {
     // reference parameterizes zstd 3..22 and pins zstd22 < zstd3
     // (tests/base/test_internals.py:56-83)
