@@ -170,10 +170,14 @@ object Bench {
       runForced(flagship(s, inputPath, sfDir))
       s.stop()
     }
-    val roundLoads = scala.collection.mutable.ArrayBuffer[Double]()
+    // loadavg is sampled at the START of every LEG (1-min average ≈ the
+    // preceding minute): the published triples bracket each measurement
+    // window, so a burst landing mid-round is visible on the legs it hit
+    val roundLoads = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
     val sweep: Seq[Map[Int, Double]] = (1 to reps).map { _ =>
-      roundLoads += load1()
-      ladder.map { c =>
+      val legLoads = scala.collection.mutable.ArrayBuffer[Double]()
+      val round = ladder.map { c =>
+        legLoads += load1()
         val s = session(c, adaptive = false)
         warmPageCache(inputPath) // re-pin: input sits near the ~10 GB cap
         // best-of-2 within the round: single-run spikes (transient cache
@@ -185,6 +189,8 @@ object Bench {
         s.stop()
         c -> t
       }.toMap
+      roundLoads += legLoads.toSeq
+      round
     }
     val legTimes: Map[Int, Seq[Double]] = ladder.map(c => c -> sweep.map(_(c))).toMap
     // Headline throughput per leg = MIN of the reps (noise on a shared VM
@@ -217,7 +223,8 @@ object Bench {
         s""""scaling_efficiency_${lo}to${hi}_minbased":${f"$minBased%.3f"}"""
     }.mkString(",")
     val loadField =
-      s""","loadavg_rounds":${roundLoads.map(l => f"$l%.2f").mkString("[", ",", "]")}"""
+      s""","loadavg_legs":${roundLoads.map(r =>
+        r.map(l => f"$l%.2f").mkString("[", ",", "]")).mkString("[", ",", "]")}"""
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""flagship":{"job":"spatial_join_tile_assign","input_rows":$inputRows,""" +

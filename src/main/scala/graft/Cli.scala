@@ -107,6 +107,26 @@ object Cli {
     filtered
   }
 
+  /** Sink phase (separated from main for testability): sorted or compact
+    * write, plus the optional GeoParquet footer stamp. */
+  def write(spark: SparkSession, out: DataFrame, a: Args): Unit = {
+    if (a.sort) {
+      val env = a.geom.map { case (_, w) => Wkb.envelope(w) }.getOrElse((-180.0, -90.0, 180.0, 90.0))
+      SortedSink.writeHilbertSorted(out, a.output, a.latCol, a.lngCol, env,
+        compression = a.compression, compressionLevel = a.compressionLevel)
+    } else SortedSink.writeCompact(out, a.output,
+      compression = a.compression, compressionLevel = a.compressionLevel)
+    if (a.geoparquet) {
+      // spec-compliant `geo` footer entry so geopandas/pyarrow readers
+      // (the reference's consumers, geopandas_io.py:12-28) see GeoParquet.
+      // The column bbox must bound the STORED geometries — which can
+      // extend past the filter envelope (bbox-overlap keeps any feature
+      // touching the filter) — so it is computed from the output itself.
+      val bbox = operators.GeoParquetMeta.bboxOfGeometry(out)
+      operators.GeoParquetMeta.stampDirectory(spark, a.output, bbox = bbox)
+    }
+  }
+
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -118,19 +138,7 @@ object Cli {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = run(spark, a)
-    if (a.sort) {
-      val env = a.geom.map { case (_, w) => Wkb.envelope(w) }.getOrElse((-180.0, -90.0, 180.0, 90.0))
-      SortedSink.writeHilbertSorted(out, a.output, a.latCol, a.lngCol, env,
-        compression = a.compression, compressionLevel = a.compressionLevel)
-    } else SortedSink.writeCompact(out, a.output,
-      compression = a.compression, compressionLevel = a.compressionLevel)
-    if (a.geoparquet) {
-      // spec-compliant `geo` footer entry so geopandas/pyarrow readers
-      // (the reference's consumers, geopandas_io.py:12-28) see GeoParquet
-      val bbox = a.geom.map { case (_, w) => Wkb.envelope(w) }
-      operators.GeoParquetMeta.stampDirectory(spark, a.output, bbox = bbox)
-    }
+    write(spark, run(spark, a), a)
     println(s"wrote ${spark.read.parquet(a.output).count()} rows to ${a.output}")
     spark.stop()
   }

@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   * (`overturemaestro/geopandas_io.py:12-28`), which requires the `geo`
   * footer entry to locate the primary geometry column. Spark's parquet
   * writer cannot attach arbitrary footer key-value metadata, so this
-  * stamps it post-write: each part file's row groups are appended
-  * block-for-block (no decode, no re-encode — `ParquetFileWriter
-  * .appendFile` copies compressed pages) into a replacement file whose
-  * footer carries the original key-value metadata plus `geo`. Cost is one
-  * sequential byte copy per file, embarrassingly parallel across files —
-  * at 100 TB this is a per-file metadata rewrite, not a data job.
+  * stamps it post-write, copying row groups chunk-by-chunk at the byte
+  * level (no decode, no re-encode) WITH their page indexes
+  * (ColumnIndex/OffsetIndex) and bloom filters — the Hilbert-sorted
+  * sink's page-level pruning survives the rewrite. Cost is one
+  * sequential byte copy per file; `stampDirectory` distributes the files
+  * across the cluster as a Spark job, so at 100 TB this is a
+  * per-file-parallel metadata rewrite, not a driver loop.
   */
 object GeoParquetMeta {
 
@@ -54,85 +55,131 @@ object GeoParquetMeta {
   }
 
   /** Rewrite one parquet file with `geo` added to its footer key-value
-    * metadata. Row groups are copied at the block level; schema, row
-    * count, encodings and all pre-existing key-value entries (including
-    * Spark's own schema key) are preserved. */
+    * metadata. Column chunks are copied at the byte level together with
+    * their ColumnIndex/OffsetIndex/bloom filters; schema, row count and
+    * all pre-existing key-value entries (including Spark's own schema
+    * key) are preserved. The replace leaves no window in which the data
+    * exists only under a hidden temp name: tmp is fully written, the
+    * original moves aside to a backup, tmp moves in, the backup goes —
+    * a crash at any point leaves either the original or the replacement
+    * under the real name. */
   def stampFile(file: Path, conf: Configuration, json: String): Unit = {
     val in = HadoopInputFile.fromPath(file, conf)
-    val kv = new java.util.HashMap[String, String]()
-    val schema = {
-      val r = ParquetFileReader.open(in)
-      try {
-        val fmd = r.getFooter.getFileMetaData
-        kv.putAll(fmd.getKeyValueMetaData)
-        fmd.getSchema
-      } finally r.close()
-    }
-    kv.put(GeoKey, json)
     val tmp = new Path(file.getParent, s".${file.getName}.geo.tmp")
-    val w = new ParquetFileWriter(
-      HadoopOutputFile.fromPath(tmp, conf), schema,
-      ParquetFileWriter.Mode.OVERWRITE,
-      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong, 0)
-    w.start()
-    w.appendFile(in)
-    w.end(kv)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val fmd = footer.getFileMetaData
+      val schema = fmd.getSchema
+      val kv = new java.util.HashMap[String, String](fmd.getKeyValueMetaData)
+      kv.put(GeoKey, json)
+      val w = new ParquetFileWriter(
+        HadoopOutputFile.fromPath(tmp, conf), schema,
+        ParquetFileWriter.Mode.OVERWRITE,
+        org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong, 0)
+      w.start()
+      val stream = in.newStream()
+      try {
+        footer.getBlocks.forEach { block =>
+          w.startBlock(block.getRowCount)
+          block.getColumns.forEach { c =>
+            w.appendColumnChunk(
+              schema.getColumnDescription(c.getPath.toArray), stream, c,
+              reader.readBloomFilter(c),
+              reader.readColumnIndex(c),
+              reader.readOffsetIndex(c))
+          }
+          w.endBlock()
+        }
+      } finally stream.close()
+      w.end(kv)
+    } finally reader.close()
     val fs = file.getFileSystem(conf)
-    if (!fs.delete(file, false) || !fs.rename(tmp, file))
+    val bak = new Path(file.getParent, s".${file.getName}.geo.bak")
+    fs.delete(bak, false)
+    if (!fs.rename(file, bak))
+      throw new java.io.IOException(s"geo stamp: could not move $file aside")
+    if (!fs.rename(tmp, file)) {
+      fs.rename(bak, file) // restore; original was never lost
       throw new java.io.IOException(s"geo stamp: could not replace $file")
+    }
+    fs.delete(bak, false)
   }
 
-  /** Stamp every part file of a Spark parquet output directory.
-    * Returns the number of files stamped. */
-  def stampDirectory(spark: SparkSession, dir: String,
-                     primaryColumn: String = Pipeline.GeometryColumn,
-                     geometryTypes: Seq[String] = Seq.empty,
-                     bbox: Option[(Double, Double, Double, Double)] = None): Int = {
+  private def partFiles(spark: SparkSession, dir: String): (Configuration, Seq[Path]) = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val json = geoJson(primaryColumn, geometryTypes, bbox)
     val it = fs.listFiles(root, true)
-    var n = 0
+    val out = scala.collection.mutable.ArrayBuffer[Path]()
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (f.isFile && name.endsWith(".parquet") && !name.startsWith(".") &&
-          !name.startsWith("_")) {
-        stampFile(f.getPath, conf, json)
-        n += 1
-      }
+          !name.startsWith("_")) out += f.getPath
     }
-    n
+    (conf, out.toSeq)
+  }
+
+  /** Stamp every part file of a Spark parquet output directory, one Spark
+    * task per file (the per-file byte copy is embarrassingly parallel and
+    * executor-local-read friendly). Returns the number of files stamped. */
+  def stampDirectory(spark: SparkSession, dir: String,
+                     primaryColumn: String = Pipeline.GeometryColumn,
+                     geometryTypes: Seq[String] = Seq.empty,
+                     bbox: Option[(Double, Double, Double, Double)] = None): Int = {
+    val (conf, files) = partFiles(spark, dir)
+    if (files.isEmpty) return 0
+    val json = geoJson(primaryColumn, geometryTypes, bbox)
+    // ship the session's Hadoop conf as plain pairs (Configuration itself
+    // is not serializable) and overlay it on executor-side defaults
+    import scala.jdk.CollectionConverters._
+    val confPairs = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    val sc = spark.sparkContext
+    val paths = files.map(_.toString)
+    sc.parallelize(paths, math.min(paths.size, sc.defaultParallelism))
+      .foreach { p =>
+        val c = new Configuration()
+        confPairs.foreach { case (k, v) => c.set(k, v) }
+        stampFile(new Path(p), c, json)
+      }
+    paths.size
   }
 
   /** Read back the `geo` footer entry of the first part file (all part
     * files carry the same stamp). None if absent. */
   def readGeo(spark: SparkSession, dir: String): Option[String] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    var res: Option[String] = None
-    while (res.isEmpty && it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") && !name.startsWith(".") &&
-          !name.startsWith("_")) {
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-        try res = Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(GeoKey))
-        finally r.close()
-      }
+    val (conf, files) = partFiles(spark, dir)
+    files.headOption.flatMap { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try Option(r.getFooter.getFileMetaData.getKeyValueMetaData.get(GeoKey))
+      finally r.close()
     }
-    res
+  }
+
+  /** Bbox of a WKB geometry column — (xmin, ymin, xmax, ymax) in one
+    * narrow aggregate (envelope computed once per row). None when the
+    * input has no non-null geometry (empty results stay stampable: the
+    * spec makes `bbox` optional). */
+  def bboxOfGeometry(df: DataFrame,
+                     geomCol: String = Pipeline.GeometryColumn)
+      : Option[(Double, Double, Double, Double)] = {
+    val r = df.where(col(geomCol).isNotNull)
+      .select(graft.functions.GeomConstructors.geom_envelope(col(geomCol)).as("_e"))
+      .agg(min(col("_e.xmin")), min(col("_e.ymin")),
+           max(col("_e.xmax")), max(col("_e.ymax")))
+      .head()
+    if (r.isNullAt(0)) None
+    else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
   }
 
   /** Point-table bbox helper: (xmin, ymin, xmax, ymax) from lng/lat
-    * columns in one narrow aggregate. */
+    * columns in one narrow aggregate; None on an empty input. */
   def bboxOfPoints(df: DataFrame, latCol: String, lngCol: String)
-      : (Double, Double, Double, Double) = {
+      : Option[(Double, Double, Double, Double)] = {
     val r = df.agg(min(col(lngCol)), min(col(latCol)),
                    max(col(lngCol)), max(col(latCol))).head()
-    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    if (r.isNullAt(0)) None
+    else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
   }
 }

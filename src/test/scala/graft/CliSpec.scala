@@ -59,4 +59,22 @@ class CliSpec extends SparkTestBase {
       assert(n > 0, s"${geomArgs(0)} produced no rows")
     }
   }
+
+  test("--geoparquet stamps the output with a bbox bounding the stored geometries") {
+    import graft.operators.GeoParquetMeta
+    val outDir = "/root/repo/target/cli_geoparquet"
+    val a = Cli.parseArgs(Array("--input", pagesPath, "--output", outDir,
+      "--geom-filter-bbox", "10.00005,20.00005,30.00005,40.00005", "--geoparquet"))
+    val out = Cli.run(spark, a)
+    Cli.write(spark, out, a)
+    val geo = GeoParquetMeta.readGeo(spark, outDir).getOrElse(fail("no geo key"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(geo)
+    assert(node.get("primary_column").asText == "geometry")
+    // the stamped bbox bounds the OUTPUT geometries (== computed from them)
+    val b = node.get("columns").get("geometry").get("bbox")
+    val expected = GeoParquetMeta.bboxOfGeometry(spark.read.parquet(outDir)).get
+    assert((b.get(0).asDouble, b.get(1).asDouble, b.get(2).asDouble, b.get(3).asDouble)
+      == expected)
+    assert(spark.read.parquet(outDir).count() == out.count())
+  }
 }

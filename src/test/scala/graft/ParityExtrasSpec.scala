@@ -184,12 +184,38 @@ class ParityExtrasSpec extends SparkTestBase {
       (d.count(), h)
     }
     val before = digest()
+    // page-index state of the first part file pre-stamp (Spark writes
+    // ColumnIndex/OffsetIndex by default; the stamp must preserve them)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    def firstPart = Files.list(Paths.get(dir)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).sorted.head
+    def indexState(p: String): Seq[(String, Boolean, Boolean, Long)] = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.flatMap(b =>
+          b.getColumns.asScala.toSeq.map(c => (c.getPath.toDotString,
+            r.readColumnIndex(c) != null, r.readOffsetIndex(c) != null,
+            b.getRowCount)))
+      } finally r.close()
+    }
+    val idxBefore = indexState(firstPart)
+    assert(idxBefore.exists(_._2), "precondition: spark wrote column indexes")
     val bbox = GeoParquetMeta.bboxOfPoints(pts, "lat", "lng")
+      .getOrElse(fail("bbox of non-empty input"))
+    assert(GeoParquetMeta.bboxOfGeometry(pts) == Some(bbox)) // WKB envelope agrees
+    assert(GeoParquetMeta.bboxOfPoints(pts.limit(0), "lat", "lng").isEmpty)
     val stamped = GeoParquetMeta.stampDirectory(spark, dir,
       geometryTypes = Seq("Polygon"), bbox = Some(bbox))
     assert(stamped == 3)
     // stamp preserved every row and value (order-independent digest)
     assert(digest() == before)
+    // ... and the page indexes (ColumnIndex/OffsetIndex per chunk)
+    assert(indexState(firstPart) == idxBefore)
     // geo entry parses to the spec shape
     val geo = GeoParquetMeta.readGeo(spark, dir).getOrElse(fail("no geo key"))
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(geo)
