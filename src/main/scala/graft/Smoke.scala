@@ -24,14 +24,14 @@ object Smoke {
     e.show(3, false)
 
     // byte-identity invariant: sha256(text) per url unchanged through the join
-    val in = sources.DerivedTables.pages(spark, "/root/testdata/sf0.001")
+    val in = sources.DerivedTables.pages(spark, SparkEntry.EntrySfDir)
       .select($"url", sha2($"text", 256).as("h_in"))
     val out = e.select($"url", sha2($"text", 256).as("h_out")).distinct()
     println("TEXT_HASH_MISMATCHES=" +
       out.join(in, "url").where($"h_in" =!= $"h_out").count())
 
     // projection validation error path (P4)
-    val feats = sources.DerivedTables.pages(spark, "/root/testdata/sf0.001")
+    val feats = sources.DerivedTables.pages(spark, SparkEntry.EntrySfDir)
       .withColumn("id", $"page_id".cast("string"))
       .withColumn("geometry", lit(Array[Byte](1)))
       .withColumn("bbox", struct($"lng".as("xmin"), $"lat".as("ymin"),

@@ -20,10 +20,14 @@ import graft.sources.DerivedTables._
   */
 object SparkEntry {
 
+  /** The flagship smoke dataset — shared with Smoke's invariant probes so
+    * the byte-identity check always reads the same data as the pipeline. */
+  final val EntrySfDir = "/root/testdata/sf0.001"
+
   /** Flagship on sf0.001: geotagged pages → cell-partitioned spatial join
     * vs theme polygons → exact ray-cast refine → tile assignment (z12). */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+    val dir = EntrySfDir
     val joined = SpatialJoin.pointsInPolygons(
       pages(spark, dir), polygons(spark, dir), res = 5)
     joined
@@ -611,7 +615,8 @@ object SparkEntry {
        |    ELSE [] END AS sh
        |  FROM toks
        |), hp AS (
-       |  SELECT doc_id, list_transform(sh, s -> [$h1, $h2 >> 5]) AS hp FROM sh
+       |  SELECT doc_id, list_transform(sh, s -> [$h1, $h2 >> 5]) AS hp
+       |  FROM sh WHERE len(sh) > 0
        |), sig AS (
        |  SELECT doc_id, list_transform(range(0, 32), i ->
        |    coalesce(list_min(list_transform(hp, p -> (p[1] + i * p[2]) & 1152921504606846975)), 9223372036854775807)) AS sig
@@ -642,7 +647,7 @@ object SparkEntry {
        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i ->
        |    CASE WHEN coalesce(list_sum(list_transform(th, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
        |    THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
-       |  FROM th
+       |  FROM th WHERE len(th) > 0
        |), banded AS (
        |  SELECT doc_id, fp, q, (fp >> CAST(q * 15 AS INT)) & 32767 AS v
        |  FROM fp, unnest(range(0, 4)) AS t(q)
@@ -1069,13 +1074,13 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_token_count" ->
-      """SELECT doc_id, len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tokens
+      """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks,
         |    (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / greatest(len(text), 1) AS praw
         |  FROM documents
@@ -1115,7 +1120,7 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        |  CAST(round(i * 10000.0 / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_e4
+        |  CAST(round((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) AS jaccard_e4
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.12
         |ORDER BY id_a, id_b""".stripMargin,

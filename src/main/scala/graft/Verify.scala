@@ -18,8 +18,13 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        // NonFatal only: after an OOM/linkage error the JVM is broken and
+        // every later query would "fail" too, masking the real cause.
+        // e.toString (not getMessage, which is null for NPEs) + top frame.
+        case scala.util.control.NonFatal(e) =>
+          val at = e.getStackTrace.headOption.map(f => s" at $f").getOrElse("")
+          System.err.println(s"[verify] $name failed: ${e.toString}$at")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

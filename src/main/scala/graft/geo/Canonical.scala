@@ -30,7 +30,13 @@ object Canonical {
       .map("%02x".format(_)).mkString
 
   private def round7(d: Double): Double =
-    BigDecimal(d).setScale(7, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    // EXACT-binary rounding (Python round()'s semantics): scala
+    // BigDecimal(d) goes through the shortest decimal repr, which turns
+    // e.g. 1.4999…e-7 (the binary value of the literal 1.5e-7) into the
+    // string "1.5E-7" and then HALF_EVENs the WRONG tie — diverging from
+    // the reference's rounding and breaking F6 hash parity
+    new java.math.BigDecimal(d)
+      .setScale(7, java.math.RoundingMode.HALF_EVEN).doubleValue()
 
   /** Signed area (shoelace); > 0 ⇔ CCW. Ring is closed (first == last). */
   private def signedArea(r: Array[Double]): Double = {

@@ -140,10 +140,58 @@ object S2Like {
     }
   }
 
-  /** Token → boundary polygon WKB (the filter-input decode, F9). */
+  /** Token → boundary polygon WKB (the filter-input decode, F9).
+    *
+    * A cell whose corners straddle lng ±180 (face 3's center region) is
+    * emitted as a MultiPolygon split at the antimeridian — the raw atan2
+    * longitudes would otherwise describe the COMPLEMENT band (a ring from
+    * +179.98 "west" to −180, covering the whole planet except the cell).
+    * Limitation: a cell CONTAINING a pole (faces 2/5 centers) cannot be
+    * represented by its 4-corner lat/lng quad; callers filtering at the
+    * poles should use a bbox/geohash filter instead. */
   def tokenToPolygonWkb(token: String): Array[Byte] = {
     val vs = cellVertices(tokenToId(token))
-    val flat = (vs :+ vs.head).flatMap { case (lat, lng) => Seq(lng, lat) }.toArray
-    Wkb.writePolygon(Array(flat))
+    val lngs = vs.map(_._2)
+    if (lngs.max - lngs.min <= 180.0) {
+      val flat = (vs :+ vs.head).flatMap { case (lat, lng) => Seq(lng, lat) }.toArray
+      Wkb.writePolygon(Array(flat))
+    } else {
+      // shift negatives +360 (ring now spans ~[170, 190]), clip the convex
+      // quad at lng=180, shift the east half back into [-180, ...]
+      val shifted = vs.map { case (lat, lng) =>
+        (if (lng < 0) lng + 360 else lng, lat)
+      }
+      val west = clipAt180(shifted, keepLeq = true)
+      val east = clipAt180(shifted, keepLeq = false).map { case (x, y) => (x - 360, y) }
+      val parts = Seq(west, east).filter(_.length >= 3).map { ring =>
+        Array((ring :+ ring.head).flatMap { case (x, y) => Seq(x, y) }.toArray)
+      }
+      if (parts.length == 1) Wkb.writePolygon(parts.head)
+      else Wkb.writeMultiPolygon(parts.toArray)
+    }
+  }
+
+  /** Sutherland–Hodgman clip of a convex ring (open, (x=lng, y=lat))
+    * against the vertical line x = 180, keeping x ≤ 180 or x ≥ 180. */
+  private def clipAt180(ring: Array[(Double, Double)],
+                        keepLeq: Boolean): Array[(Double, Double)] = {
+    val B = 180.0
+    def in(p: (Double, Double)) = if (keepLeq) p._1 <= B else p._1 >= B
+    def cross(a: (Double, Double), b: (Double, Double)) = {
+      val t = (B - a._1) / (b._1 - a._1)
+      (B, a._2 + t * (b._2 - a._2))
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var i = 0
+    while (i < ring.length) {
+      val a = ring(i)
+      val b = ring((i + 1) % ring.length)
+      if (in(a)) {
+        out += a
+        if (!in(b)) out += cross(a, b)
+      } else if (in(b)) out += cross(a, b)
+      i += 1
+    }
+    out.toArray
   }
 }

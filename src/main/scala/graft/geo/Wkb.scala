@@ -22,12 +22,30 @@ object Wkb {
   private def order(b: Byte): ByteOrder =
     if (b == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
 
-  /** Geometry type code of the WKB blob (strips any SRID/Z flags). */
-  def geomType(wkb: Array[Byte]): Int = {
-    val bb = ByteBuffer.wrap(wkb)
+  /** Reads one (endian, type) header at the buffer position and returns
+    * the BASE geometry type: decodes ISO variants (+1000 Z, +2000 M,
+    * +3000 ZM) and EWKB flag bits, and skips an EWKB SRID payload so the
+    * buffer lands on the geometry body. `strict` rejects Z/M payloads
+    * (their extra per-point doubles would misparse in the 2D readers —
+    * the reference pipeline is strictly 2D, geopandas_io.py:23) with a
+    * clear message instead of reading garbage. */
+  private def readHeader(bb: ByteBuffer, strict: Boolean): Int = {
     bb.order(order(bb.get()))
-    bb.getInt() & 0xff
+    val raw = bb.getInt()
+    val ewkbZM = (raw & 0xC0000000) != 0
+    val base0 = raw & 0x1FFFFFFF
+    val base = base0 % 1000
+    if ((raw & 0x20000000) != 0) bb.getInt() // skip EWKB SRID
+    if (strict && (ewkbZM || base0 >= 1000))
+      throw new IllegalArgumentException(
+        f"WKB with Z/M coordinates unsupported (type word 0x$raw%08x); engine geometries are 2D")
+    base
   }
+
+  /** Geometry type code of the WKB blob (base type: ISO +1000s and EWKB
+    * flag bits stripped, SRID payload skipped). */
+  def geomType(wkb: Array[Byte]): Int =
+    readHeader(ByteBuffer.wrap(wkb), strict = false)
 
   def writePoint(x: Double, y: Double): Array[Byte] = {
     val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
@@ -60,8 +78,7 @@ object Wkb {
 
   def readPoint(wkb: Array[Byte]): (Double, Double) = {
     val bb = ByteBuffer.wrap(wkb)
-    bb.order(order(bb.get()))
-    require((bb.getInt() & 0xff) == Point, "not a WKB point")
+    require(readHeader(bb, strict = true) == Point, "not a WKB point")
     (bb.getDouble(), bb.getDouble())
   }
 
@@ -73,15 +90,14 @@ object Wkb {
   }
 
   private def readPolygonsFrom(bb: ByteBuffer): Array[Array[Array[Double]]] = {
-    bb.order(order(bb.get()))
-    val t = bb.getInt() & 0xff
+    val t = readHeader(bb, strict = true)
     t match {
       case Polygon => Array(readRings(bb))
       case MultiPolygon =>
         val n = bb.getInt()
         val out = new Array[Array[Array[Double]]](n)
         var i = 0
-        while (i < n) { out(i) = { bb.order(order(bb.get())); val tt = bb.getInt() & 0xff; require(tt == Polygon); readRings(bb) }; i += 1 }
+        while (i < n) { out(i) = { require(readHeader(bb, strict = true) == Polygon); readRings(bb) }; i += 1 }
         out
       case other => throw new IllegalArgumentException(s"WKB type $other is not areal")
     }
@@ -107,8 +123,7 @@ object Wkb {
     * MultiPolygon WKB. Allocation-light: parses in place. */
   def containsPoint(wkb: Array[Byte], px: Double, py: Double): Boolean = {
     val bb = ByteBuffer.wrap(wkb)
-    bb.order(order(bb.get()))
-    val t = bb.getInt() & 0xff
+    val t = readHeader(bb, strict = true)
     t match {
       case Polygon => polygonContains(bb, px, py)
       case MultiPolygon =>
@@ -116,15 +131,14 @@ object Wkb {
         var i = 0
         var in = false
         while (i < n && !in) {
-          bb.order(order(bb.get()))
-          val tt = bb.getInt() & 0xff
-          require(tt == Polygon, "MultiPolygon member must be Polygon")
+          require(readHeader(bb, strict = true) == Polygon,
+            "MultiPolygon member must be Polygon")
           in = polygonContains(bb, px, py)
           i += 1
         }
         in
       case Point =>
-        bb.position(5); px == bb.getDouble() && py == bb.getDouble()
+        px == bb.getDouble() && py == bb.getDouble()
       case other => throw new IllegalArgumentException(s"containsPoint on WKB type $other")
     }
   }

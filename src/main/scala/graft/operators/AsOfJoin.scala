@@ -26,43 +26,53 @@ object AsOfJoin {
     * @param rightTime ordering column on the right
     * @param valueCols right columns to carry (besides the time)
     */
-  /** Full-precision ordering key: timestamp columns compare at microsecond
-    * precision (a bare cast("long") would truncate to whole seconds, letting
-    * a right row LATER in the same second match — DuckDB's native ASOF, the
-    * oracle, compares at full precision); numeric columns pass through. */
-  private def orderKey(df: DataFrame, timeCol: String): Column =
+  /** Full-precision ordering key: timestamp/date columns compare at
+    * microsecond precision (a bare cast("long") would truncate to whole
+    * seconds, letting a right row LATER in the same second match —
+    * DuckDB's native ASOF, the oracle, compares at full precision);
+    * fractional numerics keep their fraction (casting them to long would
+    * re-introduce the same truncation); integrals pass through. */
+  private def orderKey(df: DataFrame, timeCol: String): Column = {
+    import org.apache.spark.sql.types._
     df.schema(timeCol).dataType match {
-      case _: org.apache.spark.sql.types.TimestampType |
-           _: org.apache.spark.sql.types.TimestampNTZType =>
+      case _: TimestampType | _: TimestampNTZType | _: DateType =>
         unix_micros(col(timeCol).cast("timestamp"))
+      case _: DoubleType | _: FloatType | _: DecimalType =>
+        col(timeCol).cast("double")
       case _ => col(timeCol).cast("long")
     }
+  }
 
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTime: String, rightTime: String,
            valueCols: Seq[String]): DataFrame = {
-    val l = left
-      .withColumn("_t", orderKey(left, leftTime))
-      .withColumn("_isLeft", lit(1))
-      .withColumn("_rt", lit(null).cast("long"))
-      .withColumns(valueCols.map(c => s"_v_$c" -> lit(null).cast(right.schema(c).dataType.sql)).toMap)
+    // The matched right row rides as ONE non-null struct (the struct is
+    // non-null even when every carried value is null), so a matched row
+    // with a genuinely-NULL value column is not confused with the left
+    // placeholder — last(ignoreNulls) over per-column nullable carries
+    // would skip back to an OLDER row's value for that column.
     val r = right
       .select((keyCols.map(col) :+ col(rightTime)) ++ valueCols.map(col): _*)
       .withColumn("_t", orderKey(right, rightTime))
       .withColumn("_isLeft", lit(0))
-      // asof_time output: micros for timestamp inputs, raw value otherwise
-      .withColumn("_rt", orderKey(right, rightTime))
-      .withColumns(valueCols.map(c => s"_v_$c" -> col(c)).toMap)
+      // asof_time inside the struct: micros for timestamp inputs, raw otherwise
+      .withColumn("_rv", struct(col("_t").as("_rt") +: valueCols.map(col): _*))
       .drop(rightTime +: valueCols: _*)
+    val rvType = r.schema("_rv").dataType
+    val l = left
+      .withColumn("_t", orderKey(left, leftTime))
+      .withColumn("_isLeft", lit(1))
+      .withColumn("_rv", lit(null).cast(rvType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort BEFORE left rows at the same instant (asof is <=)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t").asc, col("_isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = unioned
-      .withColumn("asof_time", last(col("_rt"), ignoreNulls = true).over(w))
-      .withColumns(valueCols.map(c => s"asof_$c" -> last(col(s"_v_$c"), ignoreNulls = true).over(w)).toMap)
-    carried.where(col("_isLeft") === 1)
-      .drop(("_t" +: "_isLeft" +: "_rt" +: valueCols.map(c => s"_v_$c")): _*)
+    unioned
+      .withColumn("_carry", last(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_isLeft") === 1)
+      .withColumn("asof_time", col("_carry._rt"))
+      .withColumns(valueCols.map(c => s"asof_$c" -> col(s"_carry.$c")).toMap)
+      .drop("_t", "_isLeft", "_rv", "_carry")
   }
 }

@@ -44,6 +44,9 @@ object CachePaths {
   /** Order-independent hash over (theme, type) pairs (+ their per-pair
     * params): pairs are sorted before hashing. */
   def multiPairHash(pairs: Seq[(String, String)], perPairParams: Seq[String] = Nil): String = {
+    require(perPairParams.isEmpty || perPairParams.length == pairs.length,
+      s"per-pair params (${perPairParams.length}) must match pairs (${pairs.length})" +
+        " — zip would silently drop pairs and alias distinct requests to one cache key")
     val paired =
       if (perPairParams.isEmpty) pairs.map(p => s"${p._1}|${p._2}")
       else pairs.zip(perPairParams).map { case ((t, ty), p) => s"$t|$ty|$p" }

@@ -41,9 +41,8 @@ object CellIndex {
     * over an optimizer rule). */
   def prunedCells(index: DataFrame, filterWkb: Array[Byte], res: Int): Array[Long] = {
     val cover = Cell.coverGeometry(filterWkb, res)
-    val coverSet = cover.toSet
     index.select("cell").where(col("cell").isin(cover.map(Long.box): _*))
-      .collect().map(_.getLong(0)).filter(coverSet.contains)
+      .collect().map(_.getLong(0))
   }
 
   /** Apply: scan restricted to covered cells (cell IN (...) folds to a

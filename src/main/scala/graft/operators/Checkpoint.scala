@@ -29,30 +29,62 @@ object Checkpoint {
     *                data_downloader.py:925-963)
     * @param baseDir checkpoint root
     */
+  /** Minimal JSON string escaping for manifest fields. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Schema sidecar: read-back of an all-empty stage (a partitioned write
+    * of zero rows emits no data files) needs the schema supplied, or
+    * `spark.read.parquet` throws UNABLE_TO_INFER_SCHEMA and the stage can
+    * never complete — the S9 empty-stability contract extends to resume. */
+  private def writeSchema(outDir: Path, ddl: String): Unit =
+    Files.writeString(outDir.resolve("_SCHEMA.ddl"), ddl)
+
+  private def readWithSchema(spark: SparkSession, outDir: Path): DataFrame = {
+    val sf = outDir.resolve("_SCHEMA.ddl")
+    if (Files.exists(sf))
+      spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(Files.readString(sf)))
+        .parquet(outDir.toString)
+    else spark.read.parquet(outDir.toString)
+  }
+
   def stage(spark: SparkSession, baseDir: String, key: String)
            (build: => DataFrame): DataFrame = {
     val outDir = Paths.get(baseDir, key)
     val manifest = outDir.resolve("_MANIFEST.json")
     if (Files.exists(manifest)) {
       // resume: skip the stage entirely
-      spark.read.parquet(outDir.toString)
+      readWithSchema(spark, outDir)
     } else {
       val df = build
       Files.createDirectories(outDir.getParent)
       df.write.mode("overwrite").parquet(outDir.toString)
-      val out = spark.read.parquet(outDir.toString)
-      // per-partition lineage metrics (rows + bytes of the materialized data)
+      writeSchema(outDir, df.schema.toDDL)
+      val out = readWithSchema(spark, outDir)
+      // per-FILE lineage metrics: rows per materialized file — stable
+      // across re-reads (spark_partition_id of a read-back depends on the
+      // session's split planning, so it never reproduces)
       val metrics = out
-        .withColumn("_pid", spark_partition_id())
-        .groupBy(col("_pid"))
+        .groupBy(input_file_name().as("_f"))
         .agg(count(lit(1)).as("rows"))
         .collect()
-        .map(r => s"""{"partition":${r.getInt(0)},"rows":${r.getLong(1)}}""")
-      val fileBytes = Files.list(outDir).toArray.map(_.asInstanceOf[Path])
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(Files.size).sum
+        .map(r => s"""{"file":"${esc(r.getString(0).split('/').last)}","rows":${r.getLong(1)}}""")
+        .sorted
+      val fileBytes = {
+        val s = Files.list(outDir) // close: the stream holds a directory fd
+        try s.toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum
+        finally s.close()
+      }
       val json =
-        s"""{"key":"$key","bytes":$fileBytes,"partitions":[${metrics.mkString(",")}],"complete":true}"""
+        s"""{"key":"${esc(key)}","bytes":$fileBytes,"partitions":[${metrics.mkString(",")}],"complete":true}"""
       Files.writeString(manifest, json)
       out
     }
@@ -87,6 +119,7 @@ object Checkpoint {
     if (missing.nonEmpty) {
       Files.createDirectories(outDir)
       val fresh = build(missing)
+      writeSchema(outDir, fresh.schema.toDDL)
       // Dynamic partition overwrite, NOT append: a crash after a partial
       // write but before the manifest update leaves orphan files in the
       // still-missing partitions; the resume rebuilds those partitions and
@@ -97,7 +130,7 @@ object Checkpoint {
         .mode("overwrite").partitionBy(partitionCol).parquet(outDir.toString)
       // lineage metrics for the partitions just completed
       // hive partition dirs read back with inferred (int) type — normalize
-      val counts = spark.read.parquet(outDir.toString)
+      val counts = readWithSchema(spark, outDir)
         .where(col(partitionCol).cast("long").isin(missing.map(Long.box): _*))
         .groupBy(col(partitionCol).cast("long").as("_p")).agg(count(lit(1)).as("rows"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -105,6 +138,6 @@ object Checkpoint {
       Files.writeString(partsFile,
         merged.toSeq.sortBy(_._1).map { case (p, n) => s"$p,$n" }.mkString("\n"))
     }
-    spark.read.parquet(outDir.toString)
+    readWithSchema(spark, outDir)
   }
 }

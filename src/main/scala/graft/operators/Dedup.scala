@@ -125,8 +125,13 @@ object Dedup {
     // materialization barrier: the shingle array feeds the signature
     // aggregate; without it CollapseProject re-runs the regex tokenization
     // per consumer. (At 10^12 scale: a checkpointed table.)
+    // Docs too short to produce one shingle are EXCLUDED: they have no
+    // fingerprint in this family, and the all-sentinel signature would
+    // otherwise bucket every short doc together — M²/2 spurious
+    // est_jaccard=1.0 pairs of unrelated texts plus a one-bucket hot key.
     val sh = df.select(col(idCol).as("_id"),
-      shingles(col(textCol), shingleLen).as("_sh")).cache()
+      shingles(col(textCol), shingleLen).as("_sh"))
+      .where(size(col("_sh")) > 0).cache()
     val sig = sh.select(col("_id"),
       signature(col("_sh"), numHashes).as("_sig"))
       .cache()
@@ -193,8 +198,11 @@ object Dedup {
     require(SimHashBits % bands == 0, s"bands must divide $SimHashBits")
     val bandBits = SimHashBits / bands
     val bandMask = (1L << bandBits) - 1
+    // zero-token docs are excluded: they'd all get fingerprint 0 and pair
+    // with each other at Hamming 0 (same artifact as the MinHash sentinel)
     val th = df.select(col(idCol).as("_id"),
-      transform(tokens(col(textCol)), t => hash60(t)).as("_th")).cache()
+      transform(tokens(col(textCol)), t => hash60(t)).as("_th"))
+      .where(size(col("_th")) > 0).cache()
     val fp = th.select(col("_id"), simhashFromHashes(col("_th")).as("_fp")).cache()
     val banded = fp.withColumn("_q", explode(array((0 until bands).map { q =>
       struct(lit(q).as("q"), shiftright(col("_fp"), q * bandBits).bitwiseAND(lit(bandMask)).as("v"))

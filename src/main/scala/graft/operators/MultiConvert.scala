@@ -70,4 +70,24 @@ object MultiConvert {
     }
     WideForm.combineWide(frames, keyCols.toSet)
   }
+
+  /** Definition-driven wide multi-pair conversion: routes each pair
+    * through its [[WideFormDefinition]] — projection (`downloadColumns`),
+    * quality predicate, and pivot all participate, so e.g. `PoiWideForm`'s
+    * confidence filter and category pivot work in the multi-pair path
+    * (the vocab-driven overload above covers hierarchy pivots against
+    * release-stable vocabularies). */
+  def convertMultipleWideDefs(defs: Seq[WideFormDefinition],
+                              source: (String, String) => DataFrame,
+                              filterWkb: Array[Byte],
+                              keyCols: Seq[String],
+                              hierarchyDepths: Option[Seq[Option[Int]]] = None): DataFrame = {
+    require(defs.nonEmpty, "theme type pairs must not be empty")
+    requireSameLength(hierarchyDepths, defs.length, "Hierarchy depth list")
+    val frames = defs.zipWithIndex.map { case (d, i) =>
+      val feats = Pipeline.convertGeometryWkb(source(d.theme, d.tpe), filterWkb)
+      d.pivot(feats, keyCols, hierarchyDepths.flatMap(_(i)))
+    }
+    WideForm.combineWide(frames, keyCols.toSet)
+  }
 }

@@ -93,7 +93,9 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("id"), lit("text/utf-8").as("kind"),
-        to_binary(col("text"), lit("utf-8")).as("payload"))
+        // NULL text → empty payload: downstream decoders take the payload
+        // bytes unconditionally (a null would NPE inside mapPartitions)
+        coalesce(to_binary(col("text"), lit("utf-8")), lit(Array.emptyByteArray)).as("payload"))
       .as[MediaRow]
   }
 }

@@ -81,9 +81,18 @@ object Pipeline {
     val n = r.length / 2
     if (n != 5 && n != 4) return false
     val (xmin, ymin, xmax, ymax) = Wkb.envelope(filterWkb)
-    val pts = (0 until (if (r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)) n - 1 else n))
-      .map(i => (r(2 * i), r(2 * i + 1))).toSet
-    pts == Set((xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax))
+    val m = if (r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1)) n - 1 else n
+    if (m != 4) return false
+    val pts = (0 until m).map(i => (r(2 * i), r(2 * i + 1)))
+    // vertex SET equality alone admits a bowtie (same four corners, edges
+    // crossing) — also require each edge to be axis-parallel (consecutive
+    // corners share exactly one coordinate), which forces true perimeter
+    // traversal order
+    pts.toSet == Set((xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)) &&
+      (0 until 4).forall { i =>
+        val (x1, y1) = pts(i); val (x2, y2) = pts((i + 1) % 4)
+        (x1 == x2) != (y1 == y2)
+      }
   }
 
   /** The flagship conversion: filter a feature table (with `bbox` struct,

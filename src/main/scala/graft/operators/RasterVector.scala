@@ -35,8 +35,11 @@ object RasterVector {
       .withColumn("_px", lag(col(xCol), 1).over(byRow))
       .withColumn("_pc", lag(col(classCol), 1).over(byRow))
       .withColumn("_new",
+        // null-safe class compare: a NULL-class tile must break the run
+        // (plain =!= yields NULL there, falling through to "same run" and
+        // merging distinct runs across the null tile)
         when(col("_px").isNull || col(xCol) =!= col("_px") + 1 ||
-          col(classCol) =!= col("_pc"), 1L).otherwise(0L))
+          !(col(classCol) <=> col("_pc")), 1L).otherwise(0L))
       .withColumn("_run", sum(col("_new")).over(cum))
       .groupBy(col(yCol), col("_run"), col(classCol))
       .agg(min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),

@@ -22,15 +22,22 @@ object Similarity {
 
   /** Cosine similarity of two float-array columns, accumulated in double
     * (deterministic left-to-right fold — reproducible across runs). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+  def cosine(a: Column, b: Column): Column =
+    dotC(a, b) / (normC(a) * normC(b))
+
+  /** Deterministic left-to-right dot product (double accumulation). */
+  private def dotC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+
+  /** Euclidean norm, same fold order as [[cosine]] — precomputing it per
+    * ROW before a join gives bit-identical cosines at O((Q+N)·d) instead
+    * of O(Q·N·d) norm work inside every candidate pair (these HOFs are
+    * CodegenFallback, ~µs per walk — the dominant cost of the exact
+    * rank stage). */
+  private def normC(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
 
   /** Exact brute-force top-k: for each query row, the k most-cosine-similar
     * data rows. Query side broadcast; data side scanned once, no shuffle
@@ -42,8 +49,10 @@ object Similarity {
                      dataIdCol: String = "vec_id", dataVecCol: String = "embedding",
                      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = data.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine(col(dataVecCol), col(qVecCol)))
+    val joined = data.withColumn("_dnorm", normC(col(dataVecCol)))
+      .crossJoin(broadcast(queries.withColumn("_qnorm", normC(col(qVecCol)))))
+      .withColumn("cosine",
+        dotC(col(dataVecCol), col(qVecCol)) / (col("_dnorm") * col("_qnorm")))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(dataIdCol).asc)
     joined.withColumn("sim_rank", row_number().over(w))
       .where(col("sim_rank") <= k)
@@ -121,12 +130,13 @@ object Similarity {
             shiftright(col(s"${prefix}sig"), b * bandBits).bitwiseAND(lit(mask)).as("v"))
         }: _*)))
         .drop(s"${prefix}sig")
-    val d = banded(data, dataVecCol, "d_")
-    val q = banded(queries, qVecCol, "q_")
+    val d = banded(data.withColumn("_dnorm", normC(col(dataVecCol))), dataVecCol, "d_")
+    val q = banded(queries.withColumn("_qnorm", normC(col(qVecCol))), qVecCol, "q_")
     val cand = d.join(broadcast(q), Seq("_band"))
       .drop("_band")
       .dropDuplicates(qIdCol, dataIdCol)
-      .withColumn("cosine", cosine(col(dataVecCol), col(qVecCol)))
+      .withColumn("cosine",
+        dotC(col(dataVecCol), col(qVecCol)) / (col("_dnorm") * col("_qnorm")))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(dataIdCol).asc)
     cand.withColumn("sim_rank", row_number().over(w))
       .where(col("sim_rank") <= k)
@@ -168,14 +178,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(centroids.nonEmpty, "IVF needs a centroid set")
     require(nProbe >= 1 && nProbe <= centroids.size)
-    val assigned = data.withColumn("_cell",
-      element_at(centroidRank(col(dataVecCol), centroids, 1), 1))
-    val probed = queries.withColumn("_cell",
-      explode(centroidRank(col(qVecCol), centroids, nProbe)))
+    val assigned = data.withColumn("_dnorm", normC(col(dataVecCol)))
+      .withColumn("_cell",
+        element_at(centroidRank(col(dataVecCol), centroids, 1), 1))
+    val probed = queries.withColumn("_qnorm", normC(col(qVecCol)))
+      .withColumn("_cell",
+        explode(centroidRank(col(qVecCol), centroids, nProbe)))
     // a data row has exactly one cell, so a (query, data) pair can match at
     // most once — no dedup needed after the join
     val cand = assigned.join(broadcast(probed), Seq("_cell")).drop("_cell")
-      .withColumn("cosine", cosine(col(dataVecCol), col(qVecCol)))
+      .withColumn("cosine",
+        dotC(col(dataVecCol), col(qVecCol)) / (col("_dnorm") * col("_qnorm")))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(dataIdCol).asc)
     cand.withColumn("sim_rank", row_number().over(w))
       .where(col("sim_rank") <= k)

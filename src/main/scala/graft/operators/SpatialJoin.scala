@@ -81,8 +81,13 @@ object SpatialJoin {
                                cellCounts: Option[DataFrame] = None): DataFrame = {
     val fineRes = res + splitLevels
     val pts = points.withColumn("_cell", cell_encode(col(latCol), col(lngCol), res))
-    val counts = cellCounts.getOrElse(
-      pts.groupBy(col("_cell")).agg(count(lit(1)).as("_n")))
+    // cellCounts accepts the CellIndex.build schema (cell, n_rows, …) as
+    // well as the internal (_cell, _n) shape — the index MUST have been
+    // built at the same `res`
+    val counts = cellCounts.map { cc =>
+      if (cc.columns.contains("_cell")) cc
+      else cc.select(col("cell").as("_cell"), col("n_rows").as("_n"))
+    }.getOrElse(pts.groupBy(col("_cell")).agg(count(lit(1)).as("_n")))
     val hot = counts.where(col("_n") > hotThreshold).select(col("_cell"))
     // split the points: hot cells re-encode at fineRes, cold stay at res
     val flagged = pts.join(broadcast(hot.withColumn("_hot", lit(true))), Seq("_cell"), "left")
@@ -115,24 +120,37 @@ object SpatialJoin {
   def distanceJoin(queries: DataFrame, points: DataFrame, radiusM: Double, res: Int,
                    qLatCol: String = "qlat", qLngCol: String = "qlng",
                    latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
-    val dLat = radiusM / 110574.0
+    // Degree windows must OVER-cover (the haversine refine is exact, so
+    // extra candidate cells only cost work; a too-narrow window silently
+    // drops true pairs). 110574 m/deg UNDER-estimates the sphere's
+    // π·R/180 = 111195 m/deg by ~0.56%, inflating both windows past the
+    // exact value — margin that also absorbs the second-order poleward
+    // bulge of near-boundary geodesics. (111320 m/deg here would be
+    // ~0.11% too LARGE a divisor: at res ≥ 6 the lost fraction of a
+    // degree crosses a cell boundary and boundary-distance pairs vanish.)
+    val mPerDeg = 110574.0
+    val dLat = radiusM / mPerDeg
     // MINIMUM |cos(lat)| within the query's lat band = worst-case (largest)
     // longitude expansion. |cos| over [lo, hi] attains its minimum at an
     // edge (it's unimodal with max at the equator), so take the lesser of
     // the two clamped edges; a band touching a pole yields ~0 → the 1e-6
-    // guard blows dLng up to full-longitude cover (correct at the poles).
+    // guard blows dLng up to full-longitude cover.
     val bandLo = greatest(col(qLatCol) - lit(dLat), lit(-90.0))
     val bandHi = least(col(qLatCol) + lit(dLat), lit(90.0))
     val qc = queries.withColumn("_coslat",
       least(abs(cos(radians(bandLo))), abs(cos(radians(bandHi)))))
-    val dLngCol = lit(radiusM) / (lit(111320.0) *
+    val dLngCol = lit(radiusM) / (lit(mPerDeg) *
       when(col("_coslat") < lit(1e-6), lit(1e-6)).otherwise(col("_coslat")))
     // antimeridian wrap: a radius bbox crossing ±180 splits into two covers
     // (disjoint lng ranges, so no duplicate (query, point) candidates);
-    // dLng >= 180 degenerates to the full longitude range.
+    // dLng >= 180 degenerates to the full longitude range. A band that
+    // REACHES a pole also needs the full range regardless of radius: every
+    // longitude is reachable over the pole (a tiny-radius query 5 m from
+    // the pole has neighbors at the opposite longitude).
     val lo = col(qLngCol) - dLngCol
     val hi = col(qLngCol) + dLngCol
-    val full = dLngCol >= lit(180.0)
+    val full = dLngCol >= lit(180.0) ||
+      bandHi >= lit(90.0) || bandLo <= lit(-90.0)
     val y0 = bandLo
     val y1 = bandHi
     val primary = cover_cells(box_wkb(
@@ -193,14 +211,19 @@ object SpatialJoin {
     val distC = haversine_m(col("_qlat"), col("_qlng"), col(latCol), col(lngCol))
     val w = Window.partitionBy(col("_qid")).orderBy(col("_dist").asc, col(tieCol).asc)
 
-    var acc: DataFrame = null
+    // schema-stable empty seed (an empty query side legally yields an
+    // empty result — S9 semantics — instead of throwing)
+    var acc: DataFrame = pts.limit(0)
+      .join(unresolved.limit(0)
+        .select(col("_qid"), col("_qlat"), col("_qlng"), col("_qcell").as("_cell")),
+        Seq("_cell"))
+      .withColumn("_dist", distC)
     var r = 0          // first unprobed ring
     var batchRings = 1 // geometric batching: 1, 4, 16, … rings per round
                        // (×4 growth: each driver round costs a fixed ~0.5 s
                        // of job overhead, so fewer-but-wider rounds win;
                        // over-probing is bounded by the top-k trim)
     var remaining = unresolved.count()
-    require(remaining > 0, "empty query side")
     while (remaining > 0 && r <= maxRings) {
       val rEnd = math.min(r + batchRings - 1, maxRings)
       // cells at Chebyshev distance in [r, rEnd] (disjoint from prior rounds)
@@ -215,7 +238,7 @@ object SpatialJoin {
       val ringCellBound = (2L * rEnd + 1) * (2L * rEnd + 1)
       val rhs = if (remaining * ringCellBound <= 2000000L) broadcast(probe) else probe
       val cand = pts.join(rhs, Seq("_cell")).withColumn("_dist", distC)
-      acc = if (acc == null) cand else acc.unionByName(cand)
+      acc = acc.unionByName(cand)
       // keep only per-query top-k so the accumulator stays small
       acc = acc.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
         .localCheckpoint(eager = true) // truncate the growing lineage per round
@@ -240,12 +263,19 @@ object SpatialJoin {
     if (remaining > 0) {
       // exact fallback: full scan for the stragglers (poles/antimeridian).
       // Their ring-probed partial candidates are dropped first — the full
-      // scan re-covers them (otherwise they'd appear twice).
+      // scan re-covers them (otherwise they'd appear twice). Trimmed to
+      // top-k and materialized so the expensive cross join runs once.
       val cand = pts.crossJoin(broadcast(unresolved.drop("_qcell")))
         .withColumn("_dist", distC)
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
       acc = acc.join(unresolved.select(col("_qid")), Seq("_qid"), "left_anti")
         .unionByName(cand.select(acc.columns.map(col): _*))
+        .localCheckpoint(eager = true)
     }
+    // acc is materialized (checkpointed) — the probe cache can go. Rounds'
+    // superseded checkpoint blocks are reclaimed by the ContextCleaner as
+    // their RDDs become unreachable.
+    pts.unpersist()
     acc.withColumn("knn_rank", row_number().over(w)).where(col("knn_rank") <= k)
       .withColumnRenamed("_qid", qKeyCol)
       .withColumnRenamed("_dist", "dist_m")

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * expressions — codegen'd, no UDFs, fully pushdown-transparent. */
 object TextAnalysis {
 
-  /** Whitespace-ish token count (non-empty runs of non-space chars). */
+  /** Whitespace token count (non-empty runs of non-whitespace chars —
+    * tabs/newlines separate tokens too, matching real web text). */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, " "), t => length(t) > 0))
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
 
   /** BPE-ish subword count estimate: word tokens + extra splits at
     * letter/digit and case boundaries (a cheap, deterministic proxy for a

@@ -28,17 +28,18 @@ object WideForm {
   /** One boolean pivot column for a hierarchy combination — F2 parity:
     * `COALESCE((h1 = 'v1' AND h2 = 'v2'), False)`, NULL levels compared
     * with IS NULL (wide_form.py:128-143). */
-  def hierarchyPivotCol(levels: Seq[(String, Option[String])], colName: String): Column = {
+  def hierarchyPivotCol(levels: Seq[(String, Option[String])], colName: String): Column =
+    coalesce(hierarchyPivotCond(levels), lit(false)).as(colName)
+
+  /** The raw (un-aliased, un-coalesced) combination predicate. */
+  private def hierarchyPivotCond(levels: Seq[(String, Option[String])]): Column =
     // depth-0 clip: the single `theme|type` presence column (always true
     // for rows of that pair — reference wide_form.py:446-448)
-    val cond =
-      if (levels.isEmpty) lit(true)
-      else levels.map {
-        case (c, Some(v)) => col(c) === lit(v)
-        case (c, None)    => col(c).isNull
-      }.reduce(_ && _)
-    coalesce(cond, lit(false)).as(colName)
-  }
+    if (levels.isEmpty) lit(true)
+    else levels.map {
+      case (c, Some(v)) => col(c) === lit(v)
+      case (c, None)    => col(c).isNull
+    }.reduce(_ && _)
 
   /** Pivot a feature table on hierarchy columns: output keyCols + one
     * boolean column per vocabulary entry named `theme|type|v1|v2…`
@@ -53,11 +54,21 @@ object WideForm {
         .map(r => hierarchyCols.indices.map(i => Option(r.get(i)).map(_.toString)))
         .sortBy(_.map(_.getOrElse("")).mkString("|"))
     }
-    val pivotCols = vocab.map { combo =>
+    // null-stop naming can alias combos (e.g. (a, NULL, x) and
+    // (a, NULL, NULL) both name to `…|a`): combos sharing a name merge
+    // into ONE column by OR-ing their predicates — duplicate column names
+    // would poison every downstream by-name resolution (unionByName,
+    // na.fill → AMBIGUOUS_REFERENCE)
+    val named = vocab.map { combo =>
       // null-stop naming: drop levels at and after the first None
       val visible = combo.takeWhile(_.isDefined).flatten
-      val name = (prefix ++ visible).mkString("|")
-      hierarchyPivotCol(hierarchyCols.zip(combo), name)
+      ((prefix ++ visible).mkString("|"), combo)
+    }
+    val byName = named.groupBy(_._1)
+    val pivotCols = named.map(_._1).distinct.map { name =>
+      coalesce(byName(name).map { case (_, combo) =>
+        hierarchyPivotCond(hierarchyCols.zip(combo))
+      }.reduce(_ || _), lit(false)).as(name)
     }
     df.select(keyCols.map(col) ++ pivotCols: _*)
   }

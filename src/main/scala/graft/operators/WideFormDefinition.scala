@@ -33,7 +33,10 @@ case class HierarchyWideForm(theme: String, tpe: String,
     val d = WideForm.checkDepth(theme, tpe, hierarchyColumns, depth)
     val cols = hierarchyColumns.take(d)
     if (cols.isEmpty)
-      df.select(keyCols.map(col) :+ lit(true).as(s"$theme|$tpe"): _*)
+      // depth-0: the single always-true presence column — the empty combo
+      // drives pivotHierarchy's levels.isEmpty branch (same semantics the
+      // vocab path uses; one implementation, not two)
+      WideForm.pivotHierarchy(df, keyCols, Seq(theme, tpe), Nil, Some(Seq(Nil)))
     else
       WideForm.pivotHierarchy(df, keyCols, Seq(theme, tpe), cols)
   }
@@ -52,16 +55,21 @@ case class PoiWideForm(theme: String = "places", tpe: String = "place",
   override def downloadPredicate: Option[Column] =
     Some(WideForm.poiQualityPredicate(minimalConfidence))
   override def pivot(df: DataFrame, keyCols: Seq[String], depth: Option[Int]): DataFrame = {
+    // quality-filter FIRST: the reference derives the observed category
+    // vocabulary from the pre-filtered rows (wide_form.py:170-335) — a
+    // category appearing only on low-confidence rows must not become an
+    // all-false output column (it would break region-stable schemas)
+    val filtered = df.where(downloadPredicate.get)
     val vocab =
       if (categories.nonEmpty) categories
-      else df.select(col("categories.primary").as("c"))
-        .union(df.select(explode_outer(col("categories.alternate")).as("c")))
+      else filtered.select(col("categories.primary").as("c"))
+        .union(filtered.select(explode_outer(col("categories.alternate")).as("c")))
         .where(col("c").isNotNull)
         .distinct().orderBy(col("c")).collect().map(_.getString(0)).toSeq
     val pivots = vocab.map { c =>
       WideForm.categoryPivotCol(c, s"$theme|$tpe|$c", primaryOnly,
         col("categories.primary"), col("categories.alternate"))
     }
-    df.where(downloadPredicate.get).select(keyCols.map(col) ++ pivots: _*)
+    filtered.select(keyCols.map(col) ++ pivots: _*)
   }
 }

@@ -94,7 +94,11 @@ object StreamOps {
     var st = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
     rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      val cents = math.round(e.value * 100)
+      // Spark round() semantics (BigDecimal HALF_UP, away from zero) so
+      // closed sessions match the batch ev_sessionize twin to the cent —
+      // math.round (half toward +inf) differs on negative exact halves
+      val cents = java.math.BigDecimal.valueOf(e.value * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
       if (st == null) st = SessionState(0L, e.ts_us, 1L, cents)
       else if (e.ts_us - st.lastUs > GapUs) {
         out += SessionOut(userId, st.sessionId, st.nEvents, st.cents)

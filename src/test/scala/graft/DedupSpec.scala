@@ -199,6 +199,25 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("short docs are not spurious near-duplicates (sentinel-signature regression)") {
+    // docs below the shingle/token floor have no fingerprint in these
+    // families; the old behavior gave them all the sentinel signature and
+    // paired every two of them (est_jaccard=1.0 / hamming 0)
+    val df = Seq(
+      (1L, "hello world"), (2L, "totally different"), (3L, ""), (4L, "x"),
+      (5L, "spark query join filter table scan merge sort"),
+      (6L, "spark query join filter table scan merge sort")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashLshPairs(df, "text", "doc_id",
+      shingleLen = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((5L, 6L)), s"got $mh") // only the real duplicate pair
+    val sh = Dedup.simhashPairs(Seq((1L, ""), (2L, ""), (3L, "real text here"),
+      (4L, "real text here")).toDF("doc_id", "text"), "text", "doc_id")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(sh == Set((3L, 4L)), s"got $sh") // empty docs pair with nothing
+  }
+
   test("tokens/shingles edge cases: empty text, single token, punctuation") {
     val df = Seq((1L, ""), (2L, "word"), (3L, "a-b c!d"), (4L, "  x  ")).toDF("id", "text")
     val rows = df.select($"id", Dedup.tokens($"text"), Dedup.shingles($"text", 3))
@@ -208,5 +227,13 @@ class DedupSpec extends SparkTestBase {
     assert(rows(3L)._1 == Seq("a", "b", "c", "d"))
     assert(rows(3L)._2 == Seq("a b c", "b c d"))
     assert(rows(4L) == ((Seq("x"), Seq())))
+  }
+
+  test("tokenCount splits on ALL whitespace (tabs/newlines, not just spaces)") {
+    val df = Seq((1L, "one two\tthree\nfour\r\nfive"), (2L, "  padded  "), (3L, ""))
+      .toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.tokenCount($"text"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 5, 2L -> 1, 3L -> 0))
   }
 }

@@ -38,6 +38,28 @@ class GeoCoreSpec extends AnyFunSuite {
     assert(Wkb.envelope(mp) == ((0.0, 0.0, 6.0, 6.0)))
   }
 
+  test("EWKB SRID flag: payload skipped; ISO/EWKB Z rejected with a clear error") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // EWKB polygon, SRID flag set (0x20000003), SRID 4326, unit square
+    val plain = Wkb.box(0, 0, 1, 1)
+    val ewkb = ByteBuffer.allocate(plain.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+    ewkb.put(1.toByte).putInt(0x20000003).putInt(4326)
+      .put(java.util.Arrays.copyOfRange(plain, 5, plain.length))
+    val bytes = ewkb.array()
+    assert(Wkb.geomType(bytes) == Wkb.Polygon)
+    assert(Wkb.containsPoint(bytes, 0.5, 0.5) && !Wkb.containsPoint(bytes, 1.5, 0.5))
+    assert(Wkb.envelope(bytes) == ((0.0, 0.0, 1.0, 1.0)))
+    // ISO PolygonZ (1003): base type still resolves, strict readers refuse
+    val isoZ = ByteBuffer.allocate(plain.length).order(ByteOrder.LITTLE_ENDIAN)
+    isoZ.put(1.toByte).putInt(1003)
+      .put(java.util.Arrays.copyOfRange(plain, 5, plain.length))
+    assert(Wkb.geomType(isoZ.array()) == Wkb.Polygon)
+    val e = intercept[IllegalArgumentException] {
+      Wkb.containsPoint(isoZ.array(), 0.5, 0.5)
+    }
+    assert(e.getMessage.contains("Z/M"))
+  }
+
   test("WKT parse/emit roundtrip") {
     val wkb = Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
     val polys = Wkb.readPolygons(wkb)

@@ -114,4 +114,27 @@ class MultiConvertSpec extends SparkTestBase {
       col("lat") > -5.25 && col("lat") < 5.25).count()
     assert(wide.count() == inBox)
   }
+
+  test("convertMultipleWideDefs routes each pair through its WideFormDefinition") {
+    import graft.operators.{HierarchyWideForm, PoiWideForm}
+    val poiFeats = feats.where(col("ftype") === "place")
+      .withColumn("confidence", when(col("id") % 7 === 0, 0.2).otherwise(0.9))
+      .withColumn("categories",
+        struct(col("cat").as("primary"), array().cast("array<string>").as("alternate")))
+    val wide = MultiConvert.convertMultipleWideDefs(
+      Seq(HierarchyWideForm("base", "building", Seq("cat")),
+        PoiWideForm(categories = Seq("food", "park", "retail"))),
+      source = (_, tpe) =>
+        if (tpe == "building") feats.where(col("ftype") === "building") else poiFeats,
+      filterWkb = box, keyCols = Seq("id"))
+    val cols = wide.columns.toSet
+    assert(cols.contains("base|building|food") && cols.contains("places|place|park"))
+    // PoiWideForm's quality predicate participated: low-confidence places dropped
+    val inBox = (df: org.apache.spark.sql.DataFrame) =>
+      df.where(col("lng") > -5.25 && col("lng") < 5.25 &&
+        col("lat") > -5.25 && col("lat") < 5.25).count()
+    val expected = inBox(feats.where(col("ftype") === "building")) +
+      inBox(poiFeats.where(col("confidence") >= 0.75))
+    assert(wide.count() == expected)
+  }
 }

@@ -23,6 +23,12 @@ class ParityExtrasSpec extends SparkTestBase {
     // rounding to 7 decimals: below-resolution jitter hashes equal
     val d = Wkt.parse("POLYGON ((0 0, 4.00000001 0, 4 4, 0 4, 0 0))")
     assert(Canonical.geometryHash(a) == Canonical.geometryHash(d))
+    // EXACT-binary rounding (Python round() semantics): the literal
+    // 1.5e-7 is binarily 1.4999…e-7 → rounds DOWN to 1e-7 (shortest-repr
+    // BigDecimal saw "1.5e-7" and HALF_EVENed the wrong tie to 2e-7)
+    val t1 = Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 0.00000015, 0 0))")
+    val t2 = Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 0.0000001, 0 0))")
+    assert(Canonical.geometryHash(t1) == Canonical.geometryHash(t2))
   }
 
   // ---- F12 cache paths ----
@@ -38,6 +44,11 @@ class ParityExtrasSpec extends SparkTestBase {
       CachePaths.multiPairHash(Seq("b" -> "y", "a" -> "x")))
     assert(CachePaths.multiPairHash(Seq("a" -> "x")) !=
       CachePaths.multiPairHash(Seq("a" -> "y")))
+    // mismatched per-pair params must fail loudly, not zip-truncate into
+    // a colliding cache key
+    intercept[IllegalArgumentException] {
+      CachePaths.multiPairHash(Seq("a" -> "x", "b" -> "y", "c" -> "z"), Seq("p1", "p2"))
+    }
   }
 
   // ---- F7/F8/F9/F10 filter inputs ----
@@ -55,6 +66,31 @@ class ParityExtrasSpec extends SparkTestBase {
     val gjm = FilterInputs.fromGeoJson(
       """{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]],[[[9,9],[10,9],[10,10],[9,9]]]]}""")
     assert(Wkb.readPolygons(gjm).length == 2)
+  }
+
+  test("S2 cell polygon across the antimeridian: contains its center, not its antipode") {
+    // a cell at lng 179.99 straddles ±180: the naive ring over raw atan2
+    // longitudes described the COMPLEMENT band (excluded its own center,
+    // contained lng 0)
+    for ((lat, lng, lvl) <- Seq((-0.009, 179.99, 12), (0.013, -179.995, 10), (5.0, 180.0, 8))) {
+      val id = S2Like.latLngToId(lat, lng, lvl)
+      val wkb = S2Like.tokenToPolygonWkb(S2Like.idToToken(id))
+      // the QUAD center (mean of the cell's own corners in shifted-lng
+      // space) is guaranteed interior — the encoded query point can land
+      // exactly on a cell edge/seam, which is ray-cast-ambiguous
+      val vs = S2Like.cellVertices(id)
+      val cLat = vs.map(_._1).sum / 4
+      val sLngs = vs.map(v => if (v._2 < 0) v._2 + 360 else v._2)
+      val cS = sLngs.sum / 4
+      val cLng = if (cS > 180) cS - 360 else cS
+      assert(Wkb.containsPoint(wkb, cLng, cLat), s"cell at ($lat,$lng,$lvl) must contain its center")
+      assert(!Wkb.containsPoint(wkb, 0.0, cLat), s"cell at ($lat,$lng,$lvl) must not contain lng 0")
+      val (xmin, _, xmax, _) = Wkb.envelope(wkb)
+      assert(xmin >= -180.0 && xmax <= 180.0, "emitted lngs stay in [-180, 180]")
+    }
+    // seam-free cells unchanged: a plain polygon containing its center
+    val wkb = S2Like.tokenToPolygonWkb(S2Like.idToToken(S2Like.latLngToId(43.73, 7.42, 14)))
+    assert(Wkb.containsPoint(wkb, 7.42, 43.73))
   }
 
   test("S2-style tokens: encode/decode self-consistency at several levels") {
@@ -88,6 +124,11 @@ class ParityExtrasSpec extends SparkTestBase {
     // schema carries typed metadata
     assert(feats.schema.fieldNames.toSeq ==
       Seq("id", "kind", "n_bytes", "width", "height", "features"))
+    // NULL text decodes as an empty payload instead of NPE-ing the task
+    val withNull = spark.createDataFrame(Seq((99L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val nf = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(withNull)).head()
+    assert(nf.n_bytes == 0 && nf.features.length == Multimodal.FeatureDim)
   }
 
   test("multimodal resize + frame-sample stubs: shapes and determinism") {

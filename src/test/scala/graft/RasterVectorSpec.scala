@@ -24,6 +24,21 @@ class RasterVectorSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("vectorizeRuns: a NULL-class tile breaks the run (null-safe compare regression)") {
+    // x=0 'a', x=1 NULL, x=2 'a' — with a non-null-safe compare all three
+    // merged into one class-'a' rectangle spanning the NULL tile
+    val raster = Seq(
+      (0L, 0L, Some("a"), 1L), (1L, 0L, None, 2L), (2L, 0L, Some("a"), 3L)
+    ).toDF("tile_x", "tile_y", "klass", "v")
+    val got = RasterVector.vectorizeRuns(raster, "tile_x", "tile_y", "klass", "v")
+      .as[(Long, Option[String], Long, Long, Long, Long)].collect().toSet
+    val exp = Set(
+      (0L, Some("a"), 0L, 0L, 1L, 1L),
+      (0L, None, 1L, 1L, 1L, 2L),
+      (0L, Some("a"), 2L, 2L, 1L, 3L))
+    assert(got == exp)
+  }
+
   test("vectorizeRuns: every input tile lands in exactly one run (tile-count invariant)") {
     val rnd = new scala.util.Random(5)
     val raster = (for {

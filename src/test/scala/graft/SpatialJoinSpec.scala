@@ -153,6 +153,65 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(exp.size > 200)
   }
 
+  test("distanceJoin keeps boundary-distance pairs (m/deg constant regression)") {
+    // with a 111320 m/deg divisor the lng window is ~0.11% narrower than
+    // the engine's own haversine sphere (111195 m/deg): at res 6 a point
+    // 499.5 km away landed in a cell just outside the cover and vanished.
+    val ring = (for (i <- 0 until 720) yield {
+      // points at distances 498..500.5 km due east/west of the query
+      val d = 498000.0 + (i % 36) * 70.0
+      val sign = if (i % 2 == 0) 1 else -1
+      val dLng = sign * d / (111194.9266 * math.cos(math.toRadians(0.0)))
+      (i.toLong, 0.0, 1.1334 + dLng)
+    }).toSeq
+    val pdf = ring.toDF("pid", "lat", "lng")
+    val queries = Seq((0L, 0.0, 1.1334)).toDF("q_id", "qlat", "qlng")
+    val r = 500000.0
+    val got = SpatialJoin.distanceJoin(queries, pdf, radiusM = r, res = 6)
+      .select($"pid").as[Long].collect().toSet
+    val exp = ring.collect {
+      case (pid, lat, lng) if Geo.haversineM(0.0, 1.1334, lat, lng) <= r => pid
+    }.toSet
+    assert(got == exp)
+    assert(exp.nonEmpty && exp.size < ring.size) // boundary actually splits the set
+  }
+
+  test("distanceJoin near a pole: tiny radius still reaches across longitudes") {
+    // a 10 m-radius query 4 m from the pole has neighbors at EVERY
+    // longitude (over the pole); the band touching 90 forces a full cover
+    val pdf = Seq(
+      (0L, 89.99996, 180.0), (1L, 89.99996, 90.0), (2L, 89.99996, -90.0),
+      (3L, 89.9990, 0.0) // ~115 m away — outside
+    ).toDF("pid", "lat", "lng")
+    val queries = Seq((0L, 89.99996, 0.0)).toDF("q_id", "qlat", "qlng")
+    val got = SpatialJoin.distanceJoin(queries, pdf, radiusM = 10.0, res = 6)
+      .select($"pid").as[Long].collect().toSet
+    val exp = Seq((0L, 89.99996, 180.0), (1L, 89.99996, 90.0),
+      (2L, 89.99996, -90.0), (3L, 89.9990, 0.0)).collect {
+      case (pid, lat, lng) if Geo.haversineM(89.99996, 0.0, lat, lng) <= 10.0 => pid
+    }.toSet
+    assert(exp.contains(0L), "oracle sanity: over-the-pole neighbor is in range")
+    assert(got == exp)
+  }
+
+  test("knnJoin on an empty query side returns an empty, schema-stable result") {
+    val queries = Seq.empty[(Long, Double, Double)].toDF("q_id", "qlat", "qlng")
+    val got = SpatialJoin.knnJoin(queries, points, k = 3, res = 5,
+      qKeyCol = "q_id", tieCol = "pid", maxRings = 8)
+    assert(got.count() == 0)
+    assert(got.columns.contains("knn_rank") && got.columns.contains("dist_m"))
+  }
+
+  test("adaptive join accepts the CellIndex.build schema for cellCounts") {
+    val idx = operators.CellIndex.build(points, res = 6)
+    val got = SpatialJoin.pointsInPolygonsAdaptive(points, polys, res = 6,
+      hotThreshold = 50, cellCounts = Some(idx))
+      .select($"pid", $"poly_id").as[(Long, Long)].collect().toSet
+    val exp = SpatialJoin.pointsInPolygons(points, polys, res = 6)
+      .select($"pid", $"poly_id").as[(Long, Long)].collect().toSet
+    assert(got == exp)
+  }
+
   test("distanceJoin wraps the antimeridian (two-cover split, no duplicates)") {
     val near180 = (for (i <- 0 until 200) yield {
       val lng = 179.0 + i * 0.01 // 179.00 .. 180.99 → wrap to (-180, -179]

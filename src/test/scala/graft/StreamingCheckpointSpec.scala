@@ -207,6 +207,17 @@ class StreamingCheckpointSpec extends SparkTestBase {
       Iterator(Event(1L, 7L, 1000L, 1.0)), fresh).toSeq
     assert(out2.isEmpty && fresh.exists)
     assert(fresh.getTimeoutTimestampMs.isPresent, "timeout must be re-armed")
+    // batch-parity cents rounding: negative exact-half values round away
+    // from zero (Spark round()), not toward +inf (math.round)
+    assert(fresh.get.cents == 100L)
+    val neg = TestGroupState.create[SessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty[SessionState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    StreamOps.sessionizeGroup(7L, Iterator(Event(1L, 7L, 1000L, -0.125)), neg)
+    assert(neg.get.cents == -13L, s"round(-12.5) away from zero, got ${neg.get.cents}")
   }
 
   test("checkpoint stage: second run skips recompute (manifest-gated resume)") {
@@ -227,5 +238,27 @@ class StreamingCheckpointSpec extends SparkTestBase {
     val manifest = Files.readString(Paths.get(base, "stage1", "_MANIFEST.json"))
     assert(manifest.contains("\"complete\":true") && manifest.contains("\"partitions\""))
     assert(manifest.contains("\"rows\""))
+  }
+
+  test("checkpoint stage: an ALL-EMPTY stage completes and resumes (schema sidecar)") {
+    // a zero-row write emits no data files; without the schema sidecar the
+    // read-back throws UNABLE_TO_INFER_SCHEMA and the stage wedges forever
+    val base = "/root/repo/target/ckpt_empty_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    def build = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select($"n_nationkey", $"n_name").where(lit(false))
+    val a = graft.operators.Checkpoint.stage(spark, base, "empty1")(build)
+    assert(a.count() == 0 && a.columns.toSeq == Seq("n_nationkey", "n_name"))
+    assert(graft.operators.Checkpoint.isComplete(base, "empty1"))
+    val b = graft.operators.Checkpoint.stage(spark, base, "empty1") {
+      fail("resume must not rebuild"): org.apache.spark.sql.DataFrame
+    }
+    assert(b.count() == 0 && b.columns.toSeq == Seq("n_nationkey", "n_name"))
+    // partition-granular variant: all-missing build yields zero rows
+    val c = graft.operators.Checkpoint.stageByPartition(
+      spark, base, "empty2", "pfx", Seq(1L, 2L)) { _ =>
+      spark.range(0).select($"id".as("v"), ($"id" % 2).as("pfx"))
+    }
+    assert(c.count() == 0 && c.columns.toSet == Set("v", "pfx"))
   }
 }

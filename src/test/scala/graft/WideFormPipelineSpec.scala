@@ -47,6 +47,28 @@ class WideFormPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("F2 pivot: combos aliased by null-stop naming merge into ONE column (OR)") {
+    // (a, NULL, x) and (a, NULL, NULL) both name to `p|a` — they must
+    // produce a single column true for either combo, not two duplicate
+    // names that break downstream by-name resolution
+    val df = Seq(
+      ("1", "a", null, "x"), ("2", "a", null, null), ("3", "b", "q", "r"))
+      .toDF("id", "h1", "h2", "h3")
+    val out = WideForm.pivotHierarchy(df, Seq("id"), Seq("p"),
+      Seq("h1", "h2", "h3"),
+      vocabulary = Some(Seq(
+        Seq(Some("a"), None, Some("x")),
+        Seq(Some("a"), None, None),
+        Seq(Some("b"), Some("q"), Some("r")))))
+    assert(out.columns.length == out.columns.distinct.length, "duplicate column names")
+    assert(out.columns.toSet == Set("id", "p|a", "p|b|q|r"))
+    val rows = out.orderBy($"id").collect()
+    assert(rows(0).getBoolean(out.columns.indexOf("p|a")))  // matches first combo
+    assert(rows(1).getBoolean(out.columns.indexOf("p|a")))  // matches second combo
+    assert(!rows(2).getBoolean(out.columns.indexOf("p|a")))
+    assert(rows(2).getBoolean(out.columns.indexOf("p|b|q|r")))
+  }
+
   test("U2 combine: unionByName + COALESCE(false) for missing boolean columns") {
     val a = Seq(("1", true)).toDF("id", "x|p")
     val b = Seq(("2", true)).toDF("id", "x|q")
@@ -81,6 +103,17 @@ class WideFormPipelineSpec extends SparkTestBase {
     assert(rows2 == Map("a" -> ((false, false, true)), "c" -> ((false, true, false))))
     // primary-only ⇒ exactly one true per row (reference row-sum invariant)
     rows2.values.foreach { case (x, y, z) => assert(Seq(x, y, z).count(identity) == 1) }
+    // OBSERVED vocabulary derives from quality-FILTERED rows: a category
+    // present only on a low-confidence row must not become a column
+    val dirty = df.unionByName(Seq(("e", 0.10, "casino", Seq[String]()))
+      .toDF("id", "confidence", "p", "alt")
+      .select($"id", $"confidence",
+        struct($"p".as("primary"), $"alt".as("alternate")).as("categories")))
+    val observed = operators.PoiWideForm().pivot(dirty, Seq("id"), None)
+    assert(!observed.columns.contains("places|place|casino"),
+      s"low-confidence-only category leaked into the vocabulary: ${observed.columns.toSeq}")
+    assert(observed.columns.toSet ==
+      Set("id", "places|place|bar", "places|place|cafe", "places|place|museum"))
   }
 
   test("F4 bitset compress/decompress roundtrip") {
@@ -128,6 +161,11 @@ class WideFormPipelineSpec extends SparkTestBase {
     assert(!Pipeline.isRectangle(Wkt.parse("POLYGON ((0 0, 2 0, 1 1, 0 0))")))
     assert(!Pipeline.isRectangle(Wkt.parse("POLYGON ((0 0, 2 0, 2 1, 0 1.5, 0 0))")))
     assert(!Pipeline.isRectangle(Wkb.writePoint(1, 1)))
+    // bowtie: same four corner VERTICES as the envelope but crossing
+    // edges — vertex-set equality alone would wrongly skip the refine
+    assert(!Pipeline.isRectangle(Wkt.parse("POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))")))
+    // rotated traversal order (still a valid rectangle perimeter)
+    assert(Pipeline.isRectangle(Wkt.parse("POLYGON ((2 0, 2 1, 0 1, 0 0, 2 0))")))
   }
 
   test("P1∧P3 composition: rectangle filter skips refine; non-rect applies it") {
