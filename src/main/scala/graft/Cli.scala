@@ -121,8 +121,11 @@ object Cli {
       // (the reference's consumers, geopandas_io.py:12-28) see GeoParquet.
       // The column bbox must bound the STORED geometries — which can
       // extend past the filter envelope (bbox-overlap keeps any feature
-      // touching the filter) — so it is computed from the output itself.
-      val bbox = operators.GeoParquetMeta.bboxOfGeometry(out)
+      // touching the filter) — so it is computed from the rows the sink
+      // actually persisted (read back from a.output), NOT by re-running
+      // the upstream plan: that would double the job cost and could
+      // disagree with the written data under a non-deterministic source.
+      val bbox = operators.GeoParquetMeta.bboxOfGeometry(spark.read.parquet(a.output))
       operators.GeoParquetMeta.stampDirectory(spark, a.output, bbox = bbox)
     }
   }

@@ -1168,7 +1168,7 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM g
         |)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -22,9 +22,17 @@ import graft.geo.{Cell, Wkb}
   */
 object CellIndex {
 
-  /** Build the index: (cell, n_rows, xmin, ymin, xmax, ymax). */
+  /** Column-metadata key recording the resolution an index was built at;
+    * consumers that require a matching res (the adaptive join) assert on
+    * it instead of trusting the caller. */
+  final val ResMetaKey = "graft.cell.res"
+
+  /** Build the index: (cell, n_rows, xmin, ymin, xmax, ymax). The `cell`
+    * column carries `ResMetaKey` metadata = `res`. */
   def build(points: DataFrame, res: Int,
-            latCol: String = "lat", lngCol: String = "lng"): DataFrame =
+            latCol: String = "lat", lngCol: String = "lng"): DataFrame = {
+    val resMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ResMetaKey, res.toLong).build()
     points
       .withColumn("cell", cell_encode(col(latCol), col(lngCol), res))
       .groupBy(col("cell"))
@@ -34,6 +42,9 @@ object CellIndex {
         min(col(latCol)).as("ymin"),
         max(col(lngCol)).as("xmax"),
         max(col(latCol)).as("ymax"))
+      .select(col("cell").as("cell", resMeta), col("n_rows"),
+              col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+  }
 
   /** Prune a point table by a filter geometry using the index: the filter's
     * cell cover ∩ index cells that contain rows → IN-list pushed into the

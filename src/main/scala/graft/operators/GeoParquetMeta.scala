@@ -58,11 +58,16 @@ object GeoParquetMeta {
     * metadata. Column chunks are copied at the byte level together with
     * their ColumnIndex/OffsetIndex/bloom filters; schema, row count and
     * all pre-existing key-value entries (including Spark's own schema
-    * key) are preserved. The replace leaves no window in which the data
-    * exists only under a hidden temp name: tmp is fully written, the
-    * original moves aside to a backup, tmp moves in, the backup goes —
-    * a crash at any point leaves either the original or the replacement
-    * under the real name. */
+    * key) are preserved.
+    *
+    * Replace semantics: on a local filesystem the swap is a single
+    * `Files.move(ATOMIC_MOVE|REPLACE_EXISTING)` — the data is never
+    * absent under its real name. On filesystems without atomic replace
+    * (object stores) the two-rename fallback has a small window where
+    * the file exists only as `.name.geo.bak`; `recoverOrphans` (run by
+    * `partFiles` before every directory stamp/read) restores such
+    * leftovers, so a crash in the window is repaired on the next pass
+    * instead of silently dropping the file. */
   def stampFile(file: Path, conf: Configuration, json: String): Unit = {
     val in = HadoopInputFile.fromPath(file, conf)
     val tmp = new Path(file.getParent, s".${file.getName}.geo.tmp")
@@ -95,21 +100,61 @@ object GeoParquetMeta {
       w.end(kv)
     } finally reader.close()
     val fs = file.getFileSystem(conf)
-    val bak = new Path(file.getParent, s".${file.getName}.geo.bak")
-    fs.delete(bak, false)
-    if (!fs.rename(file, bak))
-      throw new java.io.IOException(s"geo stamp: could not move $file aside")
-    if (!fs.rename(tmp, file)) {
-      fs.rename(bak, file) // restore; original was never lost
-      throw new java.io.IOException(s"geo stamp: could not replace $file")
+    if (fs.getUri.getScheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Paths.get(file.getParent.toUri.getPath)
+      // Hadoop's local FS is a ChecksumFileSystem: each file has a hidden
+      // `.name.crc` sidecar. The nio move bypasses Hadoop, so swap the
+      // sidecar by hand — drop the stale one BEFORE the data swap (a crash
+      // then leaves a crc-less but readable file, never a mismatched one)
+      // and promote tmp's sidecar after (checksums are content-addressed,
+      // so it stays valid for the moved bytes).
+      val dstCrc = dir.resolve(s".${file.getName}.crc")
+      val tmpCrc = dir.resolve(s".${tmp.getName}.crc")
+      Files.deleteIfExists(dstCrc)
+      Files.move(
+        Paths.get(tmp.toUri.getPath), Paths.get(file.toUri.getPath),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      if (Files.exists(tmpCrc))
+        Files.move(tmpCrc, dstCrc, StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val bak = new Path(file.getParent, s".${file.getName}.geo.bak")
+      fs.delete(bak, false)
+      if (!fs.rename(file, bak))
+        throw new java.io.IOException(s"geo stamp: could not move $file aside")
+      if (!fs.rename(tmp, file)) {
+        fs.rename(bak, file) // restore; original was never lost
+        throw new java.io.IOException(s"geo stamp: could not replace $file")
+      }
+      fs.delete(bak, false)
     }
-    fs.delete(bak, false)
+  }
+
+  /** Repair leftovers of a crash inside stampFile's non-atomic fallback
+    * window: a `.name.geo.bak` whose real `name` is missing is the
+    * original file moved aside — restore it; stray `.geo.tmp` files are
+    * incomplete rewrites — drop them. Idempotent, cheap (one listing). */
+  private def recoverOrphans(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val n = p.getName
+      if (n.startsWith(".") && n.endsWith(".geo.bak")) {
+        val real = new Path(p.getParent, n.stripPrefix(".").stripSuffix(".geo.bak"))
+        if (!fs.exists(real)) fs.rename(p, real) else fs.delete(p, false)
+      } else if (n.startsWith(".") &&
+                 (n.endsWith(".geo.tmp") || n.endsWith(".geo.tmp.crc") ||
+                  n.endsWith(".geo.bak.crc"))) {
+        fs.delete(p, false)
+      }
+    }
   }
 
   private def partFiles(spark: SparkSession, dir: String): (Configuration, Seq[Path]) = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    recoverOrphans(fs, root)
     val it = fs.listFiles(root, true)
     val out = scala.collection.mutable.ArrayBuffer[Path]()
     while (it.hasNext) {

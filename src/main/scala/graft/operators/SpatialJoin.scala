@@ -82,11 +82,20 @@ object SpatialJoin {
     val fineRes = res + splitLevels
     val pts = points.withColumn("_cell", cell_encode(col(latCol), col(lngCol), res))
     // cellCounts accepts the CellIndex.build schema (cell, n_rows, …) as
-    // well as the internal (_cell, _n) shape — the index MUST have been
-    // built at the same `res`
+    // well as the internal (_cell, _n) shape. CellIndex.build stamps its
+    // res as column metadata — a mismatched-res index would silently make
+    // the hot-cell set garbage (results stay correct, the split does
+    // nothing), so assert instead of trusting the caller.
     val counts = cellCounts.map { cc =>
       if (cc.columns.contains("_cell")) cc
-      else cc.select(col("cell").as("_cell"), col("n_rows").as("_n"))
+      else {
+        val m = cc.schema("cell").metadata
+        if (m.contains(CellIndex.ResMetaKey))
+          require(m.getLong(CellIndex.ResMetaKey) == res.toLong,
+            s"cellCounts index was built at res ${m.getLong(CellIndex.ResMetaKey)} " +
+              s"but the adaptive join runs at res $res — rebuild the index at $res")
+        cc.select(col("cell").as("_cell"), col("n_rows").as("_n"))
+      }
     }.getOrElse(pts.groupBy(col("_cell")).agg(count(lit(1)).as("_n")))
     val hot = counts.where(col("_n") > hotThreshold).select(col("_cell"))
     // split the points: hot cells re-encode at fineRes, cold stay at res
