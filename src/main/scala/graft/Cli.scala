@@ -12,7 +12,8 @@ import graft.operators.{Pipeline, SortedSink}
   *     --input /path/pages.parquet \
   *     [--geom-filter-bbox x1,y1,x2,y2 | --geom-filter-wkt WKT |
   *      --geom-filter-geojson JSON | --geom-filter-geohash gh |
-  *      --geom-filter-cell hex | --geom-filter-s2 token]        (≤ 1)
+  *      --geom-filter-cell hex | --geom-filter-s2 token |
+  *      --geom-filter-file path.{geojson,wkt}]                  (≤ 1)
   *     [--filter "col,op,value"]...      (AND-folded, cli.py:691-695)
   *     [--columns a,b,c]                 (auto-adds id+geometry, P4)
   *     [--sort]                          (Hilbert-sorted sink, S8)
@@ -54,6 +55,7 @@ object Cli {
         case "--geom-filter-geohash" => setGeom("geohash", FilterInputs.fromGeohash(argv(i + 1))); i += 2
         case "--geom-filter-cell" => setGeom("cell", FilterInputs.fromCellToken(argv(i + 1))); i += 2
         case "--geom-filter-s2" => setGeom("s2", FilterInputs.fromS2Token(argv(i + 1))); i += 2
+        case "--geom-filter-file" => setGeom("file", FilterInputs.fromFile(argv(i + 1))); i += 2
         case "--filter" =>
           val parts = argv(i + 1).split(",", 3)
           require(parts.length == 3, s"--filter needs col,op,value: '${argv(i + 1)}'")
@@ -81,7 +83,7 @@ object Cli {
 
   /** Builds the conversion DataFrame (separated from main for testability). */
   def run(spark: SparkSession, a: Args): DataFrame = {
-    var df = spark.read.parquet(a.input)
+    var df = sources.TableSource.read(spark, a.input)
     // ensure id/geometry/bbox exist (pages tables carry points; features
     // tables carry their own geometry + bbox struct)
     if (!df.columns.contains("id"))

@@ -402,6 +402,20 @@ object SparkEntry {
     }),
 
     "d_jaccard_pairs" -> ((s, d) => {
+      // t = 0.4 dispatches to the Bayardo prefix-filter plan — the
+      // dedup-typical, scale-representative path (the inverted-index
+      // low-threshold corner is exercised separately by d_jaccard_lowt)
+      Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+        shingleLen = 3, threshold = 0.4, maxShingleFreq = 10000)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d_jaccard_lowt" -> ((s, d) => {
+      // the low-threshold corner (inverted-index plan, inherent candidate
+      // blowup): kept in the catalog deliberately small — at 100 TB this
+      // shape is what banded MinHash replaces
       Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
         shingleLen = 3, threshold = 0.12, maxShingleFreq = 10000)
         .select(col("id_a"), col("id_b"),
@@ -1105,6 +1119,27 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+        |      ELSE [] END) AS sh
+        |    FROM toks)
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(round((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) AS jaccard_e4
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_jaccard_lowt" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
         |  FROM documents

@@ -28,6 +28,73 @@ object FilterInputs {
   /** S2-style token → cell quadrilateral (F9). */
   def fromS2Token(token: String): Array[Byte] = S2Like.tokenToPolygonWkb(token)
 
+  /** Filter-semantics union of several areal WKBs as one MultiPolygon.
+    * `Wkb.containsPoint` is OR-over-polygons for MultiPolygon, so pooling
+    * member polygons IS the union for every way the engine consumes a
+    * filter geometry (bbox overlap, containment, cell cover) — no
+    * geometric overlay needed, overlapping members included. */
+  def unionWkb(wkbs: Seq[Array[Byte]]): Array[Byte] = {
+    require(wkbs.nonEmpty, "no geometries to union")
+    if (wkbs.length == 1) wkbs.head
+    else Wkb.writeMultiPolygon(wkbs.flatMap(Wkb.readPolygons).toArray)
+  }
+
+  /** `--geom-filter-file` (reference cli.py:140-162: geopandas read_file +
+    * union_all): read the filter geometry from a file. Supported offline
+    * formats: GeoJSON (bare geometry, Feature, or FeatureCollection —
+    * all features unioned) and WKT text (one geometry per non-empty
+    * line, unioned). Dispatched on the leading character. */
+  def fromFile(path: String): Array[Byte] = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    require(text.nonEmpty, s"geo filter file $path is empty")
+    try {
+      if (text.startsWith("{")) fromGeoJsonAny(text)
+      else unionWkb(text.linesIterator.map(_.trim).filter(_.nonEmpty).map(fromWkt).toSeq)
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(s"Cannot parse provided geo file: $path", e)
+    }
+  }
+
+  /** GeoJSON of any shape: a doc with `"geometry"` members (Feature /
+    * FeatureCollection) unions every non-null member geometry; otherwise
+    * the doc itself must be a Polygon/MultiPolygon geometry. */
+  private def fromGeoJsonAny(json: String): Array[Byte] = {
+    val geomKeys = "\"geometry\"".r.findAllMatchIn(json).map(_.end).toSeq
+    val members = geomKeys.flatMap { afterKey =>
+      // first non-space char after the colon decides: '{' = geometry
+      // object, anything else (e.g. null) = feature without geometry
+      val colon = json.indexOf(':', afterKey)
+      require(colon >= 0, "geometry member without value")
+      var i = colon + 1
+      while (i < json.length && json.charAt(i).isWhitespace) i += 1
+      if (i < json.length && json.charAt(i) == '{')
+        Some(json.substring(i, endOfObject(json, i)))
+      else None
+    }
+    if (geomKeys.isEmpty) fromGeoJson(json)
+    else {
+      require(members.nonEmpty, "GeoJSON has no non-null feature geometries")
+      unionWkb(members.map(fromGeoJson))
+    }
+  }
+
+  private def endOfObject(s: String, from: Int): Int = {
+    var depth = 0
+    var i = from
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced braces in GeoJSON")
+  }
+
   /** Minimal GeoJSON Polygon / MultiPolygon parser (no JSON lib offline —
     * a tolerant recursive bracket parser over the coordinates member). */
   def fromGeoJson(json: String): Array[Byte] = {

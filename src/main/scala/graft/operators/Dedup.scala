@@ -313,10 +313,11 @@ object Dedup {
     cand
       .join(sets.select(col("_id").as("id_a"), col("_set").as("_seta")), Seq("id_a"))
       .join(sets.select(col("_id").as("id_b"), col("_set").as("_setb")), Seq("id_b"))
+      // materialize the intersection size once — inlining it into the
+      // jaccard expression would evaluate array_intersect twice per pair
+      .withColumn("_i", size(array_intersect(col("_seta"), col("_setb"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("_seta"), col("_setb"))).cast("double") /
-          (col("_na") + col("_nb") - size(array_intersect(col("_seta"), col("_setb")))))
-          .as("jaccard"))
+        (col("_i") / (col("_na") + col("_nb") - col("_i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

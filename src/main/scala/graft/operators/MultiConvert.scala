@@ -90,4 +90,21 @@ object MultiConvert {
     }
     WideForm.combineWide(frames, keyCols.toSet)
   }
+
+  /** Release-aware wide multi-pair conversion: each pair's definition is
+    * resolved through [[WideFormRegistry.forRelease]], so converting an
+    * older release automatically uses that release's hierarchy columns
+    * (transportation 2-col before 2024-08-20.0, buildings class-only and
+    * no base/land_cover before 2024-05-16-beta.0 — wide_form.py:603-616).
+    * Unknown pairs for the release fail loudly before any job runs. */
+  def convertMultipleWideForRelease(pairs: Seq[(String, String)],
+                                    release: String,
+                                    source: (String, String) => DataFrame,
+                                    filterWkb: Array[Byte],
+                                    keyCols: Seq[String],
+                                    hierarchyDepths: Option[Seq[Option[Int]]] = None): DataFrame = {
+    require(pairs.nonEmpty, "theme type pairs must not be empty")
+    val defs = pairs.map { case (t, ty) => WideFormRegistry.definition(t, ty, release) }
+    convertMultipleWideDefs(defs, source, filterWkb, keyCols, hierarchyDepths)
+  }
 }

@@ -163,6 +163,45 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq.map(_.toDouble)))
       .sortBy(_._1).toSeq
 
+  /** Spherical k-means (Lloyd) refinement of an IVF centroid set: `iters`
+    * iterations over the deterministic stride sample, each one a narrow
+    * codegen'd assignment plus one (cell, dim) mean aggregate — the
+    * shuffle carries k·dim rows (a few thousand), never the data. Cosine
+    * assignment is scale-invariant per centroid, so the un-normalized
+    * per-cell mean IS the spherical-k-means update. Centroid ids are
+    * stable across iterations; a cell that captures no sample rows keeps
+    * its previous centroid (k never shrinks). Pass a `stride` DENSER than
+    * the one the centroids were sampled at — a refinement sample equal to
+    * the centroid set is a Lloyd fixed point (each cell's mean is its own
+    * centroid) and the call is a no-op. Fully deterministic: the
+    * stride sample, the (cosine desc, id asc) assignment tie-break, and
+    * the averages are all order-independent — same input, same centroids,
+    * on any cluster size. */
+  def refineCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[(Long, Seq[Double])],
+                      stride: Long, iters: Int = 2): Seq[(Long, Seq[Double])] = {
+    require(iters >= 0)
+    val sample = df.where(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(vecCol).as("_v"))
+    var cents = centroids
+    var it = 0
+    while (it < iters) {
+      val means = sample
+        .withColumn("_cell", element_at(centroidRank(col("_v"), cents, 1), 1))
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy(col("_cell"), col("_pos"))
+        .agg(avg(col("_x")).as("_m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k: every data row is assigned to its
     * nearest centroid's cell (narrow argmax expression, zero shuffle);
     * each query probes its `nProbe` nearest cells; candidates join

@@ -73,3 +73,53 @@ case class PoiWideForm(theme: String = "places", tpe: String = "place",
     filtered.select(keyCols.map(col) ++ pivots: _*)
   }
 }
+
+/** Release-versioned (theme, type) → [[WideFormDefinition]] registry —
+  * the reference's `THEME_TYPE_CLASSIFICATION` +
+  * `get_theme_type_classification(release)` pair
+  * (overturemaestro/advanced_functions/wide_form.py:583-616).
+  *
+  * The schema of a wide-form output depends on the RELEASE being
+  * converted, not just the (theme, type): older releases carried fewer
+  * hierarchy levels (transportation gained `subclass` in 2024-08-20.0,
+  * buildings gained `subtype` and base gained `land_cover` in
+  * 2024-05-16-beta.0). Resolving the definition through the registry —
+  * instead of hard-coding hierarchy columns at the call site — is what
+  * keeps a re-conversion of an old release schema-faithful. Release
+  * ordering is lexicographic on the release string, exactly as the
+  * reference compares them. */
+object WideFormRegistry {
+
+  /** Current-release classification (wide_form.py:583-600). */
+  val current: Map[(String, String), WideFormDefinition] = Map(
+    ("base", "infrastructure") -> HierarchyWideForm("base", "infrastructure", Seq("subtype", "class")),
+    ("base", "land") -> HierarchyWideForm("base", "land", Seq("subtype", "class")),
+    ("base", "land_cover") -> HierarchyWideForm("base", "land_cover", Seq("subtype")),
+    ("base", "land_use") -> HierarchyWideForm("base", "land_use", Seq("subtype", "class")),
+    ("base", "water") -> HierarchyWideForm("base", "water", Seq("subtype", "class")),
+    ("transportation", "segment") -> HierarchyWideForm("transportation", "segment", Seq("subtype", "class", "subclass")),
+    ("places", "place") -> PoiWideForm(),
+    ("buildings", "building") -> HierarchyWideForm("buildings", "building", Seq("subtype", "class")))
+
+  /** The classification as of `release` — newest first, overrides walk
+    * backwards (wide_form.py:603-616). */
+  def forRelease(release: String): Map[(String, String), WideFormDefinition] = {
+    var c = current
+    if (release < "2024-08-20.0")
+      c = c.updated(("transportation", "segment"),
+        HierarchyWideForm("transportation", "segment", Seq("subtype", "class")))
+    if (release < "2024-05-16-beta.0") {
+      c = c.updated(("buildings", "building"),
+        HierarchyWideForm("buildings", "building", Seq("class")))
+      c = c.removed(("base", "land_cover"))
+    }
+    c
+  }
+
+  /** Resolve one pair; fails loudly on a pair the release doesn't have
+    * (e.g. base/land_cover before 2024-05-16-beta.0). */
+  def definition(theme: String, tpe: String, release: String): WideFormDefinition =
+    forRelease(release).getOrElse((theme, tpe),
+      throw new NoSuchElementException(
+        s"($theme, $tpe) is not available in release $release"))
+}

@@ -22,19 +22,19 @@ import graft.functions.GeomConstructors._
 object DerivedTables {
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    TableSource.table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/orders.parquet")
+    TableSource.table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/customer.parquet")
+    TableSource.table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/supplier.parquet")
+    TableSource.table(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/nation.parquet")
+    TableSource.table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/region.parquet")
+    TableSource.table(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/part.parquet")
+    TableSource.table(spark, dir, "part")
   /** The sf fixtures are single small parquet files — ONE scan split, so
     * without this every text/embedding operator runs single-threaded
     * (measured: 5 s to shingle 5000 docs on one core of 32). Real corpora
@@ -42,13 +42,13 @@ object DerivedTables {
     * emulates that layout at test scale. (The tiny shuffle is the whole
     * table — KBs here; on real multi-split input, drop it.) */
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    TableSource.table(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    TableSource.table(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism)
   def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    TableSource.table(spark, dir, "events")
 
   // ---- pages: the geotagged web-page fact table ----
 

@@ -60,6 +60,49 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("--geom-filter-file: GeoJSON FeatureCollection unions features; composes with --filter/--columns") {
+    // two disjoint boxes as a FeatureCollection (one feature geometry null)
+    val f = java.nio.file.Files.createTempFile("geofilter", ".geojson")
+    java.nio.file.Files.writeString(f,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{},"geometry":{"type":"Polygon","coordinates":[[[10.00005,20.00005],[30.00005,20.00005],[30.00005,40.00005],[10.00005,40.00005],[10.00005,20.00005]]]}},
+        |{"type":"Feature","properties":{"note":"no geom"},"geometry":null},
+        |{"type":"Feature","properties":{},"geometry":{"type":"Polygon","coordinates":[[[-60.00005,-40.00005],[-40.00005,-40.00005],[-40.00005,-20.00005],[-60.00005,-20.00005],[-60.00005,-40.00005]]]}}
+        |]}""".stripMargin)
+    val a = Cli.parseArgs(Array("--input", pagesPath, "--output", "unused",
+      "--geom-filter-file", f.toString,
+      "--filter", "lang,==,en", "--columns", "lat,lng,lang"))
+    val got = Cli.run(spark, a)
+    val base = sources.DerivedTables.pages(spark, sfDir).where($"lang" === "en")
+    val inBox1 = base.where($"lng" > 10.00005 && $"lng" < 30.00005 &&
+      $"lat" > 20.00005 && $"lat" < 40.00005).count()
+    val inBox2 = base.where($"lng" > -60.00005 && $"lng" < -40.00005 &&
+      $"lat" > -40.00005 && $"lat" < -20.00005).count()
+    assert(inBox1 > 0 && inBox2 > 0, "fixture boxes must both hit data")
+    assert(got.count() == inBox1 + inBox2)
+    assert(got.columns.contains("id") && got.columns.contains("geometry"))
+    // WKT file variant: one geometry per line, unioned the same way
+    val w = java.nio.file.Files.createTempFile("geofilter", ".wkt")
+    java.nio.file.Files.writeString(w,
+      "POLYGON ((10.00005 20.00005, 30.00005 20.00005, 30.00005 40.00005, 10.00005 40.00005, 10.00005 20.00005))\n" +
+        "POLYGON ((-60.00005 -40.00005, -40.00005 -40.00005, -40.00005 -20.00005, -60.00005 -20.00005, -60.00005 -40.00005))\n")
+    val aw = Cli.parseArgs(Array("--input", pagesPath, "--output", "unused",
+      "--geom-filter-file", w.toString, "--filter", "lang,==,en"))
+    assert(Cli.run(spark, aw).count() == inBox1 + inBox2)
+    // mutual exclusion holds for the file form too
+    val e = intercept[IllegalArgumentException] {
+      Cli.parseArgs(Array("--input", "x", "--output", "y",
+        "--geom-filter-file", f.toString, "--geom-filter-bbox", "0,0,1,1"))
+    }
+    assert(e.getMessage.contains("more than one geometry filter"))
+    // unreadable content fails with the reference's wording
+    val bad = java.nio.file.Files.createTempFile("geofilter", ".txt")
+    java.nio.file.Files.writeString(bad, "not a geometry")
+    assert(intercept[IllegalArgumentException] {
+      graft.geo.FilterInputs.fromFile(bad.toString)
+    }.getMessage.contains("Cannot parse provided geo file"))
+  }
+
   test("--geoparquet stamps the output with a bbox bounding the stored geometries") {
     import graft.operators.GeoParquetMeta
     val outDir = "/root/repo/target/cli_geoparquet"

@@ -137,4 +137,55 @@ class MultiConvertSpec extends SparkTestBase {
       inBox(poiFeats.where(col("confidence") >= 0.75))
     assert(wide.count() == expected)
   }
+
+  test("release registry: the three reference override cases (wide_form.py:603-616)") {
+    import graft.operators.WideFormRegistry
+    // transportation gained `subclass` in 2024-08-20.0
+    assert(WideFormRegistry.definition("transportation", "segment", "2024-09-18.0")
+      .hierarchyColumns == Seq("subtype", "class", "subclass"))
+    assert(WideFormRegistry.definition("transportation", "segment", "2024-07-22.0")
+      .hierarchyColumns == Seq("subtype", "class"))
+    // buildings was class-only before 2024-05-16-beta.0
+    assert(WideFormRegistry.definition("buildings", "building", "2024-04-16-beta.0")
+      .hierarchyColumns == Seq("class"))
+    assert(WideFormRegistry.definition("buildings", "building", "2024-05-16-beta.0")
+      .hierarchyColumns == Seq("subtype", "class"))
+    // base/land_cover didn't exist before 2024-05-16-beta.0
+    assert(intercept[NoSuchElementException] {
+      WideFormRegistry.definition("base", "land_cover", "2024-04-16-beta.0")
+    }.getMessage.contains("land_cover"))
+    assert(WideFormRegistry.forRelease("2024-05-16-beta.0").contains(("base", "land_cover")))
+    // the boundary releases themselves get the NEW definitions (strict <)
+    assert(WideFormRegistry.definition("transportation", "segment", "2024-08-20.0")
+      .hierarchyColumns == Seq("subtype", "class", "subclass"))
+  }
+
+  test("convertMultipleWideForRelease pivots with the release's hierarchy columns") {
+    val segs = (0L until 200L).map { i =>
+      val lat = -2.0 + (i % 20) * 0.2
+      val lng = -2.0 + (i / 20) * 0.2
+      (i, lat, lng, Seq("road", "rail")((i % 2).toInt), s"c${i % 3}", s"sc${i % 2}")
+    }.toDF("id", "lat", "lng", "subtype", "class", "subclass")
+      .withColumn("bbox", struct(col("lng").as("xmin"), col("lat").as("ymin"),
+        col("lng").as("xmax"), col("lat").as("ymax")))
+      .withColumn("geometry", to_binary(lit("01"), lit("hex")))
+    def depths(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.columns.filter(_.startsWith("transportation|")).map(_.count(_ == '|')).toSet
+    val recent = MultiConvert.convertMultipleWideForRelease(
+      Seq("transportation" -> "segment"), "2024-09-18.0",
+      (_, _) => segs, box, Seq("id"))
+    val old = MultiConvert.convertMultipleWideForRelease(
+      Seq("transportation" -> "segment"), "2024-07-22.0",
+      (_, _) => segs, box, Seq("id"))
+    // recent release: finest combos carry 3 hierarchy levels (4 separators);
+    // pre-2024-08-20.0: subclass never appears (max 3 separators)
+    assert(depths(recent).max == 4 && recent.columns.contains("transportation|segment|road|c0|sc0"))
+    assert(depths(old).max == 3 && old.columns.contains("transportation|segment|road|c0"))
+    assert(old.columns.forall(!_.contains("|sc")))
+    // unknown-for-release pair fails before any Spark job
+    intercept[NoSuchElementException] {
+      MultiConvert.convertMultipleWideForRelease(
+        Seq("base" -> "land_cover"), "2024-04-16-beta.0", (_, _) => segs, box, Seq("id"))
+    }
+  }
 }
