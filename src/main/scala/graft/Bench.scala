@@ -129,6 +129,92 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Instantaneous whole-VM non-idle CPU fraction over `windowMs`.
+    * Unlike loadavg this carries no memory of OUR just-finished Spark
+    * work — between legs this process is idle, so busy CPU here is
+    * external interference. */
+  private def cpuBusyFrac(windowMs: Long): Double = {
+    def snap(): (Long, Long) =
+      try {
+        val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        // fields: user nice system idle iowait irq softirq steal ...
+        (f.sum, f(3) + (if (f.length > 4) f(4) else 0L))
+      } catch { case _: Throwable => (0L, 0L) }
+    val (t0, i0) = snap()
+    Thread.sleep(windowMs)
+    val (t1, i1) = snap()
+    val dt = t1 - t0
+    if (dt <= 0) 0.0 else 1.0 - (i1 - i0).toDouble / dt
+  }
+
+  /** Bytes this JVM has actually read from DISK (not page cache) —
+    * /proc/self/io read_bytes. With the bench input fully page-cached a
+    * flagship leg reads ~0 disk bytes, so a large delta across a timed
+    * leg is a cache-miss smoking gun (this VM's bursts are often
+    * IO-bound: loadavg spikes while CPU sits idle — D-state neighbors —
+    * and they can evict or stall the cache mid-ladder). */
+  private def selfDiskReadBytes(): Long =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/io"))
+      .linesIterator.find(_.startsWith("read_bytes:")).map(_.split(":")(1).trim.toLong)
+      .getOrElse(0L)
+    catch { case _: Throwable => 0L }
+
+  /** Wall-clock ms for a FIXED parallel ALU quantum (`threads` threads ×
+    * a deterministic integer loop, no memory traffic). This is the only
+    * interference signal that works on this VM: the host throttles our
+    * vCPUs under co-tenant load, and a paused vCPU reads as IDLE in the
+    * guest — /proc/stat shows user≈0, steal≈0, iowait≈0 while a 32-core
+    * job runs 4× slow (measured: 97% idle DURING our own full-width
+    * scan). Fixed work / wall time measures the dilation directly:
+    * uncapped ⇒ ~nominal; capped to K of N vCPUs ⇒ ~N/K × nominal. */
+  private def parallelAluMs(threads: Int): Double = {
+    val iters = 60 * 1000 * 1000 // ~50-80 ms/thread uncapped
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var k = 0
+        while (k < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; k += 1 }
+        if (x == 42) println("") // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Running minimum of the ALU probe = the machine's uncapped speed.
+    * Persisted across runs (the machine doesn't change between bench
+    * invocations, but a run that STARTS inside a throttle window would
+    * otherwise learn a poisoned reference and wave throttled legs
+    * through — observed: first-leg probe 324 ms vs true 156 ms). */
+  private val aluRefPath = java.nio.file.Paths.get("/root/repo/target/bench_alu_min_ms.txt")
+  private var aluMinMs: Double =
+    try java.nio.file.Files.readString(aluRefPath).trim.toDouble
+    catch { case _: Throwable => Double.MaxValue }
+  private def aluProbe(threads: Int): Double = {
+    val v = parallelAluMs(threads)
+    if (v < aluMinMs) {
+      aluMinMs = v
+      try java.nio.file.Files.writeString(aluRefPath, f"$v%.1f")
+      catch { case _: Throwable => () }
+    }
+    v
+  }
+
+  /** Wait (bounded) until the host gives us our cores back: probe the
+    * fixed ALU quantum until it lands within 25% of the best-seen value.
+    * This VM's bursts run for single-digit minutes and poison every leg
+    * they overlap (observed: the same flagship leg at 62 s vs 4.9 s).
+    * Burning a little budget waiting buys usable samples; the budget
+    * guard still bounds the whole run. */
+  private def awaitQuiet(maxWaitSec: Double, threads: Int): Unit = {
+    val deadline = System.nanoTime() + (maxWaitSec * 1e9).toLong
+    while (aluProbe(threads) > aluMinMs * 1.25 && System.nanoTime() < deadline)
+      Thread.sleep(5000)
+  }
+
   /** Write the current (possibly partial) result JSON to BENCH/last_run.json.
     * Called after the query catalog and again after every ladder round, so a
     * mid-run kill (driver timeout) still leaves a parseable artifact on disk
@@ -155,28 +241,23 @@ object Bench {
     // unknown timeout (round 2 hit it at rc:124). Rounds past the first are
     // only added while they fit inside the budget, so the default protocol
     // DEGRADES (fewer efficiency samples) instead of FAILING (no artifact).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "480").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "560").toDouble
 
-    // ---- per-query timings at local[cpus] ----
-    val spark = session(cpus)
+    // LADDER FIRST, catalog second (round-3 reorder). Two reasons: (a)
+    // the ladder is the budget- and jitter-critical phase — it gets the
+    // freshest JVM (a 51-query catalog bloats the heap and its GC tail
+    // taxes the full-width legs) and the earliest, most elastic slice of
+    // the time budget; (b) a driver kill mid-catalog now loses per-query
+    // seconds, not the scaling evidence (the ladder is checkpointed to
+    // BENCH/last_run.json before the catalog starts).
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SCALING_ONLY")
-    val queryTimes =
-      if (skipQueries) Seq.empty[(String, Double)]
-      else {
-        // untimed session warmup: JIT + codegen + first-parquet-footer costs
-        // otherwise land entirely on the alphabetically first query
-        try runForced(SparkEntry.queries("q1_agg")(spark, sfDir))
-        catch { case _: Throwable => () }
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t = try time(runForced(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
-          name -> t
-        }
-      }
-    val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).filter(_ >= 0).sum
-    val head =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir""""
-    writeArtifact(head + "}") // partial artifact: catalog done, ladder pending
+    // phase wall-clock marks (cumulative seconds since main), published
+    // for budget forensics — tells a reader exactly where a timed-out or
+    // single-round run spent its wall clock
+    val marks = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def mark(name: String): Unit = marks += name -> elapsed()
+    var head =
+      s"""{"metric":"total","value":0.000,"unit":"sec","queries":{},"sf":"$sfDir""""
 
     // ---- flagship throughput + N→4N scaling ladder ----
     // Measured at cpus, cpus/4 and cpus/16 (e.g. 32, 8, 2): this sandbox
@@ -184,7 +265,11 @@ object Bench {
     // tops out at 3.4×/8→32 and a bare 1-column parquet scan at 1.8×), so
     // the 2→8 pair is the bandwidth-valid reading of the N→4N criterion;
     // both pairs are reported. See BENCH/BASELINE.md.
-    val (inputPath, inputRows) = materializeInput(spark, sfDir, rep)
+    val (inputPath, inputRows) = locally {
+      val s = session(cpus)
+      try materializeInput(s, sfDir, rep) finally s.stop()
+    }
+    mark("materialized")
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER_REPS", "2").toInt
     val ladder = Seq(cpus, cpus / 4, cpus / 16).filter(_ >= 1).distinct
     // INTERLEAVED ladder: each rep round visits every core count
@@ -196,17 +281,22 @@ object Bench {
     // ratio bias; interleaving cancels it. One untimed warm pass (largest
     // core count) covers JIT + codegen for every leg: the codegen cache and
     // JIT profile are JVM-wide, not per-SparkSession.
-    spark.stop()
+    aluProbe(cpus) // seed the throttle reference from several time points
     locally {
       val s = session(cpus, adaptive = false)
       warmPageCache(inputPath) // first touch may come from disk — untimed
       runForced(flagship(s, inputPath, sfDir))
       s.stop()
     }
+    aluProbe(cpus)
+    mark("warmed")
     // loadavg is sampled at the START of every LEG (1-min average ≈ the
     // preceding minute): the published triples bracket each measurement
     // window, so a burst landing mid-round is visible on the legs it hit
     val roundLoads = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    val roundBusy = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    val roundDisk = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    val roundAlu = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
     val sweep = scala.collection.mutable.ArrayBuffer[Map[Int, Double]]()
     var roundCost = 0.0
 
@@ -239,34 +329,117 @@ object Bench {
       }.mkString(",")
       val loadField =
         s""","loadavg_legs":${roundLoads.map(r =>
-          r.map(l => f"$l%.2f").mkString("[", ",", "]")).mkString("[", ",", "]")}"""
+          r.map(l => f"$l%.2f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
+          s""""cpu_busy_legs":${roundBusy.map(r =>
+            r.map(l => f"$l%.3f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
+          s""""disk_read_gb_legs":${roundDisk.map(r =>
+            r.map(l => f"$l%.2f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
+          s""""alu_ms_legs":${roundAlu.map(r =>
+            r.map(l => f"$l%.0f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
+          s""""alu_ms_min":${f"$aluMinMs%.0f"},""" +
+          s""""phase_marks_sec":${marks.map { case (k, v) =>
+            s""""$k":${f"$v%.0f"}""" }.mkString("{", ",", "}")}"""
       head + s""","flagship":{"job":"spatial_join_tile_assign","input_rows":$inputRows,""" +
         thrFields + (if (effFields.nonEmpty) "," + effFields else "") + loadField + "}}"
     }
 
     var r = 0
-    while (r < maxReps && (r == 0 || elapsed() + roundCost * 1.2 < budgetSec)) {
+    while (r < maxReps && (r == 0 || elapsed() + roundCost * 1.1 < budgetSec)) {
+      // spend at most the budget slack (minus the round's expected cost)
+      // waiting for external bursts to pass, capped at 90 s per round
+      val slack = budgetSec - elapsed() - (if (r == 0) 0.0 else roundCost * 1.1)
+      awaitQuiet(math.max(0.0, math.min(90.0, slack)), cpus)
+      // roundCost is measured from AFTER the quiet wait: the wait is
+      // elective (bounded by remaining slack next time), and counting it
+      // would talk the guard out of rounds that actually fit
       val t0 = elapsed()
       val legLoads = scala.collection.mutable.ArrayBuffer[Double]()
+      val legBusy = scala.collection.mutable.ArrayBuffer[Double]()
+      val legDisk = scala.collection.mutable.ArrayBuffer[Double]()
+      val legAlu = scala.collection.mutable.ArrayBuffer[Double]()
       val round = ladder.map { c =>
         legLoads += load1()
+        legBusy += cpuBusyFrac(300) // external in-VM CPU (usually ~0 here)
+        // per-LEG throttle gate for the jitter-sensitive wide legs: a
+        // burst that starts mid-round would otherwise poison them even
+        // when the round began quiet (the 2c leg runs regardless — the
+        // host doesn't cap below 2 vCPUs)
+        if (c > 2) awaitQuiet(30.0, cpus)
+        legAlu += aluProbe(cpus) // host-throttle dilation, the real signal
         val s = session(c, adaptive = false)
-        warmPageCache(inputPath) // re-pin: input sits near the ~10 GB cap
         // best-of-2 within the round: single-run spikes (transient cache
         // eviction / neighbor burst) are additive noise; the pair stays
         // inside the same ~1 min ambient window so the RATIO is unbiased
-        val t = math.min(
-          time(runForced(flagship(s, inputPath, sfDir))),
-          time(runForced(flagship(s, inputPath, sfDir))))
+        // Run allocation per leg: wide legs are hypersensitive to the
+        // host's vCPU throttling (they need ALL their cores) and cheap —
+        // best-of-3. The 2-core leg is the robust one (the host never
+        // caps below 2 vCPUs; observed ±17% vs 5× swing at 32c) and the
+        // most expensive — one run per round, sampled across rounds.
+        val runs = if (c <= 2) 1 else 3
+        // NO unconditional page-cache warm here: the warm leg pinned the
+        // input once, the disk-read detector below proves whether it held
+        // (0.00 GB in every clean run), and re-reading 7.6 GB before
+        // every leg was costing ~1/3 of the round — the single biggest
+        // reason round 2 of the ladder didn't fit the budget.
+        def timedPair(): (Double, Double) = {
+          val d0 = selfDiskReadBytes()
+          val ts = Seq.fill(runs)(time(runForced(flagship(s, inputPath, sfDir))))
+          // a >2× spread inside one pair = a mid-run burst (observed: the
+          // same job at 4.9 s and 62 s within a minute on this VM) — one
+          // bonus run buys another chance at clean air
+          val t =
+            if (ts.max / ts.min > 2.0)
+              math.min(ts.min, time(runForced(flagship(s, inputPath, sfDir))))
+            else ts.min
+          (t, (selfDiskReadBytes() - d0) / 1e9)
+        }
+        var (t, diskGb) = timedPair()
+        // >1 GB of real disk reads during a timed pair ⇒ the page cache
+        // didn't hold (IO burst / eviction) and the time measures the
+        // DISK, not the plan — re-pin and retry once, keep the better
+        if (diskGb > 1.0) {
+          warmPageCache(inputPath)
+          val (t2, d2) = timedPair()
+          if (t2 < t) { t = t2; diskGb = d2 }
+        }
+        legDisk += diskGb
         s.stop()
         c -> t
       }.toMap
       roundLoads += legLoads.toSeq
+      roundBusy += legBusy.toSeq
+      roundDisk += legDisk.toSeq
+      roundAlu += legAlu.toSeq
       sweep += round
       roundCost = elapsed() - t0
+      mark(s"round${r + 1}")
       writeArtifact(ladderJson()) // per-round checkpoint: timeouts keep data
       r += 1
     }
+
+    writeArtifact(ladderJson()) // ladder complete; catalog still pending
+
+    // ---- per-query timings at local[cpus] ----
+    val queryTimes =
+      if (skipQueries) Seq.empty[(String, Double)]
+      else {
+        val spark = session(cpus)
+        try {
+          // untimed session warmup: JIT + codegen + first-parquet-footer
+          // costs otherwise land on the alphabetically first query
+          try runForced(SparkEntry.queries("q1_agg")(spark, sfDir))
+          catch { case _: Throwable => () }
+          SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+            val t = try time(runForced(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+            name -> t
+          }
+        } finally spark.stop()
+      }
+    mark("catalog")
+    val qs = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).filter(_ >= 0).sum
+    head =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir""""
 
     val json = ladderJson()
     writeArtifact(json)
