@@ -187,6 +187,32 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    "q_wide_release" -> ((s, d) => {
+      // release-versioned wide-form registry end-to-end (reference
+      // wide_form.py:603-616): the SAME source converted under a recent
+      // release (3-level transportation hierarchy) and a pre-2024-08-20.0
+      // release (2-level) yields different wide columns; combineWide
+      // unions the two with missing booleans coalesced to false
+      val segs = pages(s, d).select(
+          col("page_id").as("id"), col("lat"), col("lng"),
+          element_at(array(lit("road"), lit("rail")),
+            (col("page_id") % 2).cast("int") + 1).as("subtype"),
+          concat(lit("c"), (col("page_id") % 3).cast("string")).as("class"),
+          concat(lit("sc"), (col("page_id") % 5).cast("string")).as("subclass"))
+        .withColumn("bbox", struct(col("lng").as("xmin"), col("lat").as("ymin"),
+          col("lng").as("xmax"), col("lat").as("ymax")))
+        .withColumn("geometry", to_binary(lit("01"), lit("hex")))
+      val box = graft.geo.Wkb.box(10.00005, 20.00005, 30.00005, 40.00005)
+      val recent = MultiConvert.convertMultipleWideForRelease(
+        Seq("transportation" -> "segment"), "2024-09-18.0", (_, _) => segs, box, Seq("id"))
+      val old = MultiConvert.convertMultipleWideForRelease(
+        Seq("transportation" -> "segment"), "2024-07-22.0", (_, _) => segs, box, Seq("id"))
+      WideForm.combineWide(Seq(
+          recent.withColumn("release", lit("new")),
+          old.withColumn("release", lit("old"))), Set("id", "release"))
+        .orderBy(col("release"), col("id"))
+    }),
+
     "q_multi_convert" -> ((s, d) => {
       // multi-(theme,type) orchestration e2e: two pairs, per-pair predicate
       // and projection, pentagon geometry filter, combined in input order
@@ -563,6 +589,42 @@ object SparkEntry {
   private val P = graft.sources.DerivedTables.pagesSql
   private val POLY = graft.sources.DerivedTables.polygonsSql
   private val GQ = graft.sources.DerivedTables.geoQueriesSql
+
+  /** q_wide_release oracle: the full cross-product vocabulary is known at
+    * SQL-build time (moduli 2/3/5 are coprime and the box holds 555 rows
+    * at sf0.01 — every combo occurs), so the CASE pivot is generated for
+    * both releases' column sets; missing columns are FALSE, mirroring
+    * combineWide's coalesce. */
+  private val wideReleaseSql: String = {
+    val subs = Seq("road", "rail")
+    val cls = (0 to 2).map("c" + _)
+    val scs = (0 to 4).map("sc" + _)
+    val three = for { su <- subs; c <- cls; sc <- scs } yield
+      (s"transportation|segment|$su|$c|$sc",
+        s"""(subtype = '$su' AND "class" = '$c' AND subclass = '$sc')""")
+    val two = for { su <- subs; c <- cls } yield
+      (s"transportation|segment|$su|$c",
+        s"""(subtype = '$su' AND "class" = '$c')""")
+    // both UNION ALL branches must emit the SAME column order (DuckDB
+    // matches union columns by position): one canonical order, live
+    // columns pivoted, the other release's columns FALSE
+    def sel(live: Set[String]): String =
+      (three ++ two).map { case (n, e) =>
+        if (live(n)) s"""$e AS "$n"""" else s"""FALSE AS "$n""""
+      }.mkString(", ")
+    s"""WITH $P, segs AS (
+       |  SELECT page_id AS id,
+       |    CASE WHEN page_id % 2 = 0 THEN 'road' ELSE 'rail' END AS subtype,
+       |    'c' || CAST(page_id % 3 AS VARCHAR) AS "class",
+       |    'sc' || CAST(page_id % 5 AS VARCHAR) AS subclass
+       |  FROM pages
+       |  WHERE lng > 10.00005 AND lng < 30.00005 AND lat > 20.00005 AND lat < 40.00005
+       |)
+       |SELECT id, 'new' AS release, ${sel(three.map(_._1).toSet)} FROM segs
+       |UNION ALL
+       |SELECT id, 'old' AS release, ${sel(two.map(_._1).toSet)} FROM segs
+       |ORDER BY release, id""".stripMargin
+  }
 
   /** Half-plane conjunction for the pentagon (convex, CCW): strict interior. */
   private val pentagonInteriorSql: String = {
@@ -947,6 +1009,8 @@ object SparkEntry {
         |  coalesce(p_type = 'SMALL', false) AS "part|type|SMALL",
         |  coalesce(p_type = 'STANDARD', false) AS "part|type|STANDARD"
         |FROM part WHERE p_size <= 10 ORDER BY p_partkey""".stripMargin,
+
+    "q_wide_release" -> wideReleaseSql,
 
     "q_multi_convert" ->
       s"""WITH $P, feats AS (

@@ -285,6 +285,8 @@ object Dedup {
     val ds = df.select(col(idCol).as("_id"),
         explode(shingles(col(textCol), shingleLen)).as("_sh"))
       .distinct()
+      .cache() // two consumers (freq, perDoc): shingling is the dominant
+               // narrow cost — same trade the inverted plan makes
     val freq = ds.groupBy(col("_sh")).agg(count(lit(1)).as("_f"))
       .where(col("_f") <= maxShingleFreq)
     // per-doc shingle set ordered rarest-first (global total order:

@@ -270,6 +270,19 @@ class ParityExtrasSpec extends SparkTestBase {
     // re-stamping is idempotent (replaces the geo key, keeps data)
     assert(GeoParquetMeta.stampDirectory(spark, dir) == 3)
     assert(digest() == before)
+    // crash recovery: simulate a crash inside the non-atomic fallback
+    // window (a part file left only as its .geo.bak, plus a stray
+    // half-written .geo.tmp) — the next directory stamp must restore the
+    // original under its real name, drop the orphan tmp, and stamp all 3
+    val part = Paths.get(firstPart)
+    val bak = part.getParent.resolve(s".${part.getFileName}.geo.bak")
+    Files.move(part, bak)
+    Files.deleteIfExists(part.getParent.resolve(s".${part.getFileName}.crc"))
+    val strayTmp = part.getParent.resolve(s".${part.getFileName}.geo.tmp")
+    Files.write(strayTmp, Array[Byte](1, 2, 3)) // truncated rewrite junk
+    assert(GeoParquetMeta.stampDirectory(spark, dir) == 3)
+    assert(Files.exists(part) && !Files.exists(bak) && !Files.exists(strayTmp))
+    assert(digest() == before)
   }
 
   test("zstd compression level surface: level 22 output strictly smaller than level 3") {
