@@ -102,11 +102,11 @@ object Bench {
   }
 
   /** Re-populate the OS page cache for the bench input (raw sequential
-    * read, no JVM object churn). This VM's page cache is ~10 GB and a
-    * growing driver heap can evict the input mid-ladder, flipping a leg
-    * from cached (~2 s) to disk-bound (~40 s) — round 1's 2-core leg hit
-    * exactly that, making the 2→8 efficiency read 1.198 (invalid). Warming
-    * before EACH leg pins both legs to the cached regime. */
+    * read, no JVM object churn). Used by the untimed warm leg and by the
+    * cache-miss retry path — NOT before every leg (the /proc/self/io
+    * disk-read detector proves whether the cache held; round 1's
+    * disk-bound 2-core leg that read 1.198 "efficiency" is exactly what
+    * the detector now catches). */
   private def warmPageCache(dir: String): Unit = {
     val buf = new Array[Byte](1 << 20)
     new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
@@ -270,7 +270,11 @@ object Bench {
       try materializeInput(s, sfDir, rep) finally s.stop()
     }
     mark("materialized")
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER_REPS", "2").toInt
+    val maxReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER_REPS", "2").toInt)
+    // clear any stale artifact from a previous run immediately — until the
+    // first round checkpoints, the file on disk must not masquerade as
+    // this run's results
+    writeArtifact(head + "}")
     val ladder = Seq(cpus, cpus / 4, cpus / 16).filter(_ >= 1).distinct
     // INTERLEAVED ladder: each rep round visits every core count
     // back-to-back (fresh local[c] context, page cache re-pinned, job
@@ -367,9 +371,6 @@ object Bench {
         if (c > 2) awaitQuiet(30.0, cpus)
         legAlu += aluProbe(cpus) // host-throttle dilation, the real signal
         val s = session(c, adaptive = false)
-        // best-of-2 within the round: single-run spikes (transient cache
-        // eviction / neighbor burst) are additive noise; the pair stays
-        // inside the same ~1 min ambient window so the RATIO is unbiased
         // Run allocation per leg: wide legs are hypersensitive to the
         // host's vCPU throttling (they need ALL their cores) and cheap —
         // best-of-3. The 2-core leg is the robust one (the host never
