@@ -8,6 +8,17 @@ import graft.operators.{Pipeline, SortedSink}
 /** spark-submit CLI — the reference's argument surface (§3.3,
   * overturemaestro/cli.py:340-713) over the engine pipeline:
   *
+  * Reference shape (positional theme/type; output defaults to the F12
+  * byte-parity cache path, results sorted unless --no-sort, cache reused
+  * unless --ignore-cache, result path printed last — cli.py:340-713):
+  *
+  *   spark-submit --class graft.Cli engine.jar \
+  *     buildings building --input /path/features.parquet \
+  *     --geom-filter-bbox x1,y1,x2,y2 [--release R] \
+  *     [--working-directory files] [--no-sort] [--ignore-cache]
+  *
+  * Generic engine shape:
+  *
   *   spark-submit --class graft.Cli engine.jar \
   *     --input /path/pages.parquet \
   *     [--geom-filter-bbox x1,y1,x2,y2 | --geom-filter-wkt WKT |
@@ -29,11 +40,32 @@ object Cli {
                   geom: Option[(String, Array[Byte])] = None,
                   filters: Seq[(String, String, Any)] = Nil,
                   columns: Option[Seq[String]] = None,
-                  sort: Boolean = false,
+                  sortFlag: Option[Boolean] = None,
                   geoparquet: Boolean = false,
                   latCol: String = "lat", lngCol: String = "lng",
                   compression: String = "zstd",
-                  compressionLevel: Option[Int] = None)
+                  compressionLevel: Option[Int] = None,
+                  showPairs: Option[String] = None,
+                  theme: Option[String] = None, tpe: Option[String] = None,
+                  release: String = sources.Releases.NewestKnown,
+                  workingDirectory: String = "files",
+                  ignoreCache: Boolean = false) {
+    /** Reference mode = theme/type positionals given (the reference CLI's
+      * shape: `overturemaestro <theme> <type> --geom-filter-… [-o …]`). */
+    def referenceMode: Boolean = theme.isDefined || tpe.isDefined
+    /** The reference sorts results BY DEFAULT (`_sorted` cache suffix,
+      * `--no-sort` opts out, cli.py/test_cli.py "Explicit sort"/"No sort");
+      * the generic mode keeps opt-in `--sort`. */
+    def sort: Boolean = sortFlag.getOrElse(referenceMode)
+    /** Default output = the reference's deterministic cache path (F12
+      * byte-parity) when none given in reference mode. */
+    def resolvedOutput: String =
+      if (output != null) output
+      else operators.CachePaths.resultPath(
+        workingDirectory, release, theme.get, tpe.get, geom.get._2,
+        operators.CachePaths.pyarrowFilterRepr(filters),
+        columns, sorted = sort)
+  }
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -66,20 +98,63 @@ object Cli {
           }
           a = a.copy(filters = a.filters :+ ((parts(0), parts(1), value))); i += 2
         case "--columns" => a = a.copy(columns = Some(argv(i + 1).split(",").toSeq)); i += 2
-        case "--sort" => a = a.copy(sort = true); i += 1
+        case "--sort" => a = a.copy(sortFlag = Some(true)); i += 1
+        case "--no-sort" => a = a.copy(sortFlag = Some(false)); i += 1
+        case "--release" => a = a.copy(release = argv(i + 1)); i += 2
+        case "--working-directory" => a = a.copy(workingDirectory = argv(i + 1)); i += 2
+        case "--ignore-cache" | "--no-cache" => a = a.copy(ignoreCache = true); i += 1
         case "--geoparquet" => a = a.copy(geoparquet = true); i += 1
         case "--lat-col" => a = a.copy(latCol = argv(i + 1)); i += 2
         case "--lng-col" => a = a.copy(lngCol = argv(i + 1)); i += 2
         case "--compression" => a = a.copy(compression = argv(i + 1)); i += 2
         case "--compression-level" =>
           a = a.copy(compressionLevel = Some(argv(i + 1).toInt)); i += 2
+        case "--show-theme-type-pairs" =>
+          // optional release operand (reference cli.py:50-71: defaults to
+          // the newest release when not given)
+          val rel =
+            if (i + 1 < argv.length && !argv(i + 1).startsWith("--")) { i += 2; argv(i - 1) }
+            else { i += 1; sources.Releases.NewestKnown }
+          a = a.copy(showPairs = Some(rel))
+        case positional if !positional.startsWith("--") =>
+          // reference shape: `<theme> <type>` positionals (cli.py:344-352)
+          if (a.theme.isEmpty) a = a.copy(theme = Some(positional))
+          else if (a.tpe.isEmpty) a = a.copy(tpe = Some(positional))
+          else throw new IllegalArgumentException(s"unexpected argument '$positional'")
+          i += 1
         case other => throw new IllegalArgumentException(s"unknown argument '$other'")
       }
     }
-    require(a.input != null, "--input is required")
-    require(a.output != null, "--output is required")
+    if (a.showPairs.isEmpty) {
+      if (a.referenceMode) {
+        // reference requirement + error text (test_cli.py:54-62)
+        if (a.theme.isEmpty || a.tpe.isEmpty || a.geom.isEmpty)
+          // reference UsageError text (cli.py:644-652), minus the two
+          // network-bound formats this engine doesn't take (geocode)
+          throw new IllegalArgumentException(
+            "OvertureMaestro requires theme, type and a geometry filter" +
+              " (one of --geom-filter-bbox --geom-filter-file," +
+              " --geom-filter-geojson, --geom-filter-index-geohash," +
+              " --geom-filter-index-h3, --geom-filter-index-s2," +
+              " --geom-filter-wkt) to download the data.")
+        sources.Releases.checkReleaseVersion(a.release)
+        require(a.input != null, "--input is required")
+      } else {
+        require(a.input != null, "--input is required")
+        require(a.output != null, "--output is required")
+      }
+    }
     a
   }
+
+  /** `--show-theme-type-pairs` output (reference's
+    * `_display_theme_type_pairs_callback`, cli.py:50-71): one
+    * "theme type" row per available pair for the release, then exit —
+    * no Spark session needed. */
+  def showThemeTypePairs(release: String): String =
+    (s"$release release" +:
+      sources.Releases.availableThemeTypePairs(release)
+        .map { case (t, ty) => s"$t $ty" }).mkString("\n")
 
   /** Builds the conversion DataFrame (separated from main for testability). */
   def run(spark: SparkSession, a: Args): DataFrame = {
@@ -112,11 +187,12 @@ object Cli {
   /** Sink phase (separated from main for testability): sorted or compact
     * write, plus the optional GeoParquet footer stamp. */
   def write(spark: SparkSession, out: DataFrame, a: Args): Unit = {
+    val dest = a.resolvedOutput
     if (a.sort) {
       val env = a.geom.map { case (_, w) => Wkb.envelope(w) }.getOrElse((-180.0, -90.0, 180.0, 90.0))
-      SortedSink.writeHilbertSorted(out, a.output, a.latCol, a.lngCol, env,
+      SortedSink.writeHilbertSorted(out, dest, a.latCol, a.lngCol, env,
         compression = a.compression, compressionLevel = a.compressionLevel)
-    } else SortedSink.writeCompact(out, a.output,
+    } else SortedSink.writeCompact(out, dest,
       compression = a.compression, compressionLevel = a.compressionLevel)
     if (a.geoparquet) {
       // spec-compliant `geo` footer entry so geopandas/pyarrow readers
@@ -127,13 +203,14 @@ object Cli {
       // actually persisted (read back from a.output), NOT by re-running
       // the upstream plan: that would double the job cost and could
       // disagree with the written data under a non-deterministic source.
-      val bbox = operators.GeoParquetMeta.bboxOfGeometry(spark.read.parquet(a.output))
-      operators.GeoParquetMeta.stampDirectory(spark, a.output, bbox = bbox)
+      val bbox = operators.GeoParquetMeta.bboxOfGeometry(spark.read.parquet(dest))
+      operators.GeoParquetMeta.stampDirectory(spark, dest, bbox = bbox)
     }
   }
 
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
+    if (a.showPairs.isDefined) { println(showThemeTypePairs(a.showPairs.get)); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -143,8 +220,15 @@ object Cli {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, run(spark, a), a)
-    println(s"wrote ${spark.read.parquet(a.output).count()} rows to ${a.output}")
+    val dest = a.resolvedOutput
+    // reference cache behavior: an existing result file is reused unless
+    // --ignore-cache (data_downloader result cache; test_cli "Ignore
+    // cache"); the result path is the last stdout line either way
+    val cached = a.referenceMode && !a.ignoreCache &&
+      new java.io.File(s"$dest/_SUCCESS").exists()
+    if (!cached) write(spark, run(spark, a), a)
+    println(s"wrote ${spark.read.parquet(dest).count()} rows")
+    println(dest)
     spark.stop()
   }
 }

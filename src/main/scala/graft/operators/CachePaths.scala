@@ -41,6 +41,21 @@ object CachePaths {
   private[operators] def pyListRepr(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** pyarrow Expression repr of an AND-folded `(col, op, value)` triple
+    * list — the string form the reference hashes into the filename
+    * (single-predicate form pinned at b22759b5 in CanonicalParitySpec;
+    * conjunctions fold left-associatively as pyarrow's `&` repr does).
+    * Strings are double-quoted, numbers bare. None when no filters. */
+  def pyarrowFilterRepr(filters: Seq[(String, String, Any)]): Option[String] =
+    if (filters.isEmpty) None
+    else Some(filters.map { case (c, op, v) =>
+      val vr = v match {
+        case s: String => "\"" + s + "\""
+        case other => other.toString
+      }
+      s"($c $op $vr)"
+    }.reduce((l, r) => s"($l and $r)"))
+
   /** Order-independent hash over (theme, type) pairs (+ their per-pair
     * params): pairs are sorted before hashing. */
   def multiPairHash(pairs: Seq[(String, String)], perPairParams: Seq[String] = Nil): String = {

@@ -102,8 +102,11 @@ object WideFormRegistry {
     ("buildings", "building") -> HierarchyWideForm("buildings", "building", Seq("subtype", "class")))
 
   /** The classification as of `release` — newest first, overrides walk
-    * backwards (wide_form.py:603-616). */
+    * backwards (wide_form.py:603-616). Releases below the reference's
+    * minimal supported version are rejected up front
+    * (release_index.py:581-586). */
   def forRelease(release: String): Map[(String, String), WideFormDefinition] = {
+    graft.sources.Releases.checkReleaseVersion(release)
     var c = current
     if (release < "2024-08-20.0")
       c = c.updated(("transportation", "segment"),

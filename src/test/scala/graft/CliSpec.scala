@@ -103,6 +103,75 @@ class CliSpec extends SparkTestBase {
     }.getMessage.contains("Cannot parse provided geo file"))
   }
 
+  test("reference mode: positional theme/type, default sorted cache path, --no-sort, cache reuse") {
+    import graft.operators.CachePaths
+    import graft.geo.Wkb
+    // theme/type positionals + geometry → reference mode; output defaults
+    // to the byte-parity cache path and sorting defaults ON
+    val base = Array("buildings", "building", "--input", pagesPath,
+      "--geom-filter-bbox", "10.00005,20.00005,30.00005,40.00005",
+      "--release", "2024-08-20.0", "--working-directory", "/root/repo/target/cli_refmode")
+    val a = Cli.parseArgs(base)
+    assert(a.referenceMode && a.sort && a.output == null)
+    val expected = CachePaths.resultPath(
+      "/root/repo/target/cli_refmode", "2024-08-20.0", "buildings", "building",
+      Wkb.box(10.00005, 20.00005, 30.00005, 40.00005), None, None, sorted = true)
+    assert(a.resolvedOutput == expected)
+    assert(expected.endsWith("_nofilter_sorted.parquet") &&
+      expected.contains("/2024-08-20.0/theme=buildings/type=building/"))
+    // --no-sort flips the suffix; a filter changes the filename hash part
+    val ns = Cli.parseArgs(base ++ Array("--no-sort", "--filter", "lang,==,en"))
+    assert(!ns.sort && ns.resolvedOutput.endsWith(".parquet") &&
+      !ns.resolvedOutput.contains("_sorted") && !ns.resolvedOutput.contains("nofilter"))
+    // end-to-end: write lands at the cache path; re-run with cache reuses
+    val out = Cli.run(spark, a)
+    Cli.write(spark, out, a)
+    assert(new java.io.File(s"$expected/_SUCCESS").exists())
+    assert(spark.read.parquet(expected).count() == out.count() && out.count() > 0)
+    // missing geometry in reference mode → the reference's UsageError text
+    val e = intercept[IllegalArgumentException] {
+      Cli.parseArgs(Array("base", "water", "--input", "x"))
+    }
+    assert(e.getMessage.startsWith(
+      "OvertureMaestro requires theme, type and a geometry filter"))
+    // unsupported release rejected up front
+    intercept[graft.sources.Releases.ReleaseVersionNotSupportedError] {
+      Cli.parseArgs(Array("buildings", "building", "--input", "x",
+        "--geom-filter-bbox", "0,0,1,1", "--release", "2024-03-12-alpha.0"))
+    }
+  }
+
+  test("release gate + --show-theme-type-pairs (reference parity)") {
+    import graft.sources.Releases
+    // _check_release_version cases (test_release_indexes.py:20-32)
+    val e = intercept[Releases.ReleaseVersionNotSupportedError] {
+      Releases.checkReleaseVersion("2024-03-12-alpha.0")
+    }
+    assert(e.getMessage ==
+      "Release version 2024-03-12-alpha.0 is not supported." +
+        " Minimal supported version is 2024-04-16-beta.0.")
+    Releases.checkReleaseVersion(Releases.MinimalSupported) // no raise
+    Releases.checkReleaseVersion("2024-08-20.0") // no raise
+    // pair catalog follows the release's classification (land_cover only
+    // from 2024-05-16-beta.0 on)
+    assert(Releases.availableThemeTypePairs().contains(("base", "land_cover")))
+    assert(!Releases.availableThemeTypePairs("2024-04-16-beta.0")
+      .contains(("base", "land_cover")))
+    // the registry rejects unsupported releases up front
+    intercept[Releases.ReleaseVersionNotSupportedError] {
+      graft.operators.WideFormRegistry.forRelease("2024-03-12-alpha.0")
+    }
+    // CLI listing: no --input/--output required, pairs printed per release
+    val a = Cli.parseArgs(Array("--show-theme-type-pairs", "2024-08-20.0"))
+    assert(a.showPairs.contains("2024-08-20.0"))
+    val out = Cli.showThemeTypePairs("2024-08-20.0")
+    assert(out.startsWith("2024-08-20.0 release"))
+    assert(out.contains("transportation segment") && out.contains("places place"))
+    // bare flag defaults to the newest known release
+    assert(Cli.parseArgs(Array("--show-theme-type-pairs"))
+      .showPairs.contains(Releases.NewestKnown))
+  }
+
   test("--geoparquet stamps the output with a bbox bounding the stored geometries") {
     import graft.operators.GeoParquetMeta
     val outDir = "/root/repo/target/cli_geoparquet"
