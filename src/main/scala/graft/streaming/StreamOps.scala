@@ -56,6 +56,28 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Incremental cell-index maintenance — the streaming twin of
+    * [[graft.operators.CellIndex.build]]: as pages append, the per-cell
+    * (n_rows, exact bounds) statistics update in place (complete/update
+    * output). count/min/max are all monoidal, so the state store carries
+    * ONE row per coarse cell (bounded by 4^res, never by the stream), and
+    * the converged state equals the batch index over the same rows —
+    * asserted in StreamingCheckpointSpec. At 100 TB this is how the
+    * pruning index stays fresh under continuous ingest without re-scanning
+    * the fact table. */
+  def cellIndexStream(pages: DataFrame, res: Int,
+                      latCol: String = "lat", lngCol: String = "lng"): DataFrame =
+    pages
+      .withColumn("cell", graft.functions.geofunctions.cell_encode(
+        col(latCol), col(lngCol), res))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(lngCol)).as("xmin"),
+        min(col(latCol)).as("ymin"),
+        max(col(lngCol)).as("xmax"),
+        max(col(latCol)).as("ymax"))
+
   case class Event(event_id: Long, user_id: Long, ts_us: Long, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, cents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, value_cents: Long)

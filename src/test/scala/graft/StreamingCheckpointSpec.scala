@@ -94,6 +94,30 @@ class StreamingCheckpointSpec extends SparkTestBase {
     assert(exp.nonEmpty)
   }
 
+  test("streaming cell-index maintenance converges to the batch index") {
+    val streamDir = Paths.get("/root/repo/target/stream_cellindex")
+    org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
+    Files.createDirectories(streamDir)
+    val pages = sources.DerivedTables.pages(spark, sfDir).select("page_id", "lat", "lng")
+    // two appended files = two micro-batch arrivals
+    pages.where(col("page_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir.toString)
+    pages.where(col("page_id") % 2 === 1).coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = graft.streaming.StreamOps.cellIndexStream(stream, res = 4)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cell_index_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("cell_index_stream")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSet
+    val exp = graft.operators.CellIndex.build(pages, res = 4)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSet
+    assert(got == exp)
+    assert(exp.size > 10)
+  }
+
   test("streaming exact dedup (dropDuplicatesWithinWatermark) == batch dedup survivors") {
     import graft.streaming.StreamOps
     // documents table with planted duplicates: stream it and dedup by text
