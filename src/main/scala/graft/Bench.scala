@@ -241,7 +241,7 @@ object Bench {
     // unknown timeout (round 2 hit it at rc:124). Rounds past the first are
     // only added while they fit inside the budget, so the default protocol
     // DEGRADES (fewer efficiency samples) instead of FAILING (no artifact).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "560").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "520").toDouble
 
     // LADDER FIRST, catalog second (round-3 reorder). Two reasons: (a)
     // the ladder is the budget- and jitter-critical phase — it gets the
@@ -364,11 +364,11 @@ object Bench {
       val round = ladder.map { c =>
         legLoads += load1()
         legBusy += cpuBusyFrac(300) // external in-VM CPU (usually ~0 here)
-        // per-LEG throttle gate for the jitter-sensitive wide legs: a
-        // burst that starts mid-round would otherwise poison them even
-        // when the round began quiet (the 2c leg runs regardless — the
-        // host doesn't cap below 2 vCPUs)
-        if (c > 2) awaitQuiet(30.0, cpus)
+        // per-LEG throttle gate — ALL legs: wide legs are the most
+        // throttle-sensitive, but an ambient burst hitting the narrow leg
+        // inflates the 2→8 RATIO upward (observed: one poisoned 2c leg
+        // read a superlinear 1.02), which is just as invalid
+        awaitQuiet(30.0, cpus)
         legAlu += aluProbe(cpus) // host-throttle dilation, the real signal
         val s = session(c, adaptive = false)
         // Run allocation per leg: wide legs are hypersensitive to the
