@@ -71,8 +71,9 @@ object Cli {
     var a = Args()
     def setGeom(kind: String, wkb: Array[Byte]): Unit = {
       a.geom.foreach { case (k, _) =>
+        // reference BadParameter text (cli.py:655)
         throw new IllegalArgumentException(
-          s"provided more than one geometry filter ($k and $kind) — pass exactly one")
+          s"Provided more than one geometry for filtering ($k and $kind)")
       }
       a = a.copy(geom = Some(kind -> wkb))
     }
@@ -159,6 +160,13 @@ object Cli {
   /** Builds the conversion DataFrame (separated from main for testability). */
   def run(spark: SparkSession, a: Args): DataFrame = {
     var df = sources.TableSource.read(spark, a.input)
+    // reference mode selects the dataset by (theme, type); when the input
+    // table carries those partition columns (the Overture layout), the
+    // positional pair prunes to that partition — the faithful analog of
+    // the reference downloading only theme=…/type=… (partition pruning
+    // makes this a scan-level filter, not a post-hoc one)
+    if (a.referenceMode && df.columns.contains("theme") && df.columns.contains("type"))
+      df = df.where(col("theme") === a.theme.get && col("type") === a.tpe.get)
     // ensure id/geometry/bbox exist (pages tables carry points; features
     // tables carry their own geometry + bbox struct)
     if (!df.columns.contains("id"))

@@ -19,7 +19,7 @@ class CliSpec extends SparkTestBase {
       Cli.parseArgs(Array("--input", "x", "--output", "y",
         "--geom-filter-bbox", "0,0,1,1", "--geom-filter-geohash", "u"))
     }
-    assert(e.getMessage.contains("more than one geometry filter"))
+    assert(e.getMessage.contains("Provided more than one geometry for filtering"))
   }
 
   test("unknown argument rejected; filter parsing types values") {
@@ -94,7 +94,7 @@ class CliSpec extends SparkTestBase {
       Cli.parseArgs(Array("--input", "x", "--output", "y",
         "--geom-filter-file", f.toString, "--geom-filter-bbox", "0,0,1,1"))
     }
-    assert(e.getMessage.contains("more than one geometry filter"))
+    assert(e.getMessage.contains("Provided more than one geometry for filtering"))
     // unreadable content fails with the reference's wording
     val bad = java.nio.file.Files.createTempFile("geofilter", ".txt")
     java.nio.file.Files.writeString(bad, "not a geometry")
@@ -128,6 +128,19 @@ class CliSpec extends SparkTestBase {
     Cli.write(spark, out, a)
     assert(new java.io.File(s"$expected/_SUCCESS").exists())
     assert(spark.read.parquet(expected).count() == out.count() && out.count() > 0)
+    // theme/type positionals prune a partition-columned features input
+    val featsPath = "/root/repo/target/cli_feats"
+    if (!new java.io.File(s"$featsPath/_SUCCESS").exists())
+      sources.DerivedTables.polygons(spark, sfDir).write.mode("overwrite").parquet(featsPath)
+    val af = Cli.parseArgs(Array("buildings", "building", "--input", featsPath,
+      "--geom-filter-bbox", "-179.0,-89.0,179.0,89.0",
+      "--release", "2024-08-20.0", "--working-directory", "/root/repo/target/cli_refmode2"))
+    val rf = Cli.run(spark, af)
+    import org.apache.spark.sql.functions.col
+    assert(rf.where(col("theme") =!= "buildings" || col("type") =!= "building").count() == 0)
+    val expRows = sources.DerivedTables.polygons(spark, sfDir)
+      .where(col("theme") === "buildings" && col("type") === "building").count()
+    assert(rf.count() == expRows && expRows > 0)
     // missing geometry in reference mode → the reference's UsageError text
     val e = intercept[IllegalArgumentException] {
       Cli.parseArgs(Array("base", "water", "--input", "x"))

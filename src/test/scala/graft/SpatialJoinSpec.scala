@@ -210,6 +210,14 @@ class SpatialJoinSpec extends SparkTestBase {
     val exp = SpatialJoin.pointsInPolygons(points, polys, res = 6)
       .select($"pid", $"poly_id").as[(Long, Long)].collect().toSet
     assert(got == exp)
+    // a mismatched-res index would silently neuter the hot-cell split —
+    // the res metadata CellIndex.build stamps is asserted at plan time
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.pointsInPolygonsAdaptive(points, polys, res = 5,
+        hotThreshold = 50, cellCounts = Some(idx))
+    }
+    assert(e.getMessage.contains("built at res 6") &&
+      e.getMessage.contains("runs at res 5"))
   }
 
   test("distanceJoin wraps the antimeridian (two-cover split, no duplicates)") {
