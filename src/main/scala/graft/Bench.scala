@@ -286,6 +286,8 @@ object Bench {
     // core count) covers JIT + codegen for every leg: the codegen cache and
     // JIT profile are JVM-wide, not per-SparkSession.
     aluProbe(cpus) // seed the throttle reference from several time points
+    awaitQuiet(60.0, cpus) // the warm leg reads 7.6 GB from disk — under an
+                           // IO burst it ran 161 s; waiting is cheaper
     locally {
       val s = session(cpus, adaptive = false)
       warmPageCache(inputPath) // first touch may come from disk — untimed
