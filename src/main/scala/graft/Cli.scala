@@ -232,8 +232,12 @@ object Cli {
     // reference cache behavior: an existing result file is reused unless
     // --ignore-cache (data_downloader result cache; test_cli "Ignore
     // cache"); the result path is the last stdout line either way
-    val cached = a.referenceMode && !a.ignoreCache &&
-      new java.io.File(s"$dest/_SUCCESS").exists()
+    // probe through the Hadoop FileSystem, not java.io.File: a
+    // --working-directory on HDFS/S3 must still get cache hits
+    val cached = a.referenceMode && !a.ignoreCache && {
+      val p = new org.apache.hadoop.fs.Path(dest, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     if (!cached) write(spark, run(spark, a), a)
     println(s"wrote ${spark.read.parquet(dest).count()} rows")
     println(dest)

@@ -213,6 +213,35 @@ object SparkEntry {
         .orderBy(col("release"), col("id"))
     }),
 
+    "q_wide_poi" -> ((s, d) => {
+      // POI wide-form release parity e2e (reference wide_form.py:248-252,
+      // 297-311, 412-436): the SAME synthetic places source converted
+      // under a recent release (categories.primary, depth-1 → categories
+      // grouped into hierarchy-prefix columns) and a pre-2024-07-22.0
+      // release (categories.main, depth-2 → leaf columns), combined with
+      // missing booleans coalesced to false
+      val p = part(s, d)
+      def src(primField: String) = p.select(
+        col("p_partkey").cast("long").as("id"),
+        when(col("p_partkey") % 11 === 0, lit(null))
+          .otherwise(struct(
+            concat(lit("cat"), (col("p_partkey") % 7).cast("string")).as(primField),
+            array(concat(lit("cat"), ((col("p_partkey") * 3 + 1) % 7).cast("string")))
+              .as("alternate")))
+          .as("categories"),
+        ((col("p_partkey") % 100) / lit(100.0)).as("confidence"))
+      val newDef = WideFormRegistry.definition("places", "place", "2024-09-18.0")
+        .asInstanceOf[PoiWideForm].copy(hierarchy = PoiFixtureHierarchy)
+      val oldDef = WideFormRegistry.definition("places", "place", "2024-06-13-beta.0")
+        .asInstanceOf[PoiWideForm].copy(hierarchy = PoiFixtureHierarchy)
+      val a = newDef.pivot(src(newDef.primaryField), Seq("id"), Some(1))
+        .withColumn("release", lit("new"))
+      val b = oldDef.pivot(src(oldDef.primaryField), Seq("id"), Some(2))
+        .withColumn("release", lit("old"))
+      WideForm.combineWide(Seq(a, b), Set("id", "release"))
+        .orderBy(col("release"), col("id"))
+    }),
+
     "q_multi_convert" -> ((s, d) => {
       // multi-(theme,type) orchestration e2e: two pairs, per-pair predicate
       // and projection, pentagon geometry filter, combined in input order
@@ -626,6 +655,55 @@ object SparkEntry {
        |ORDER BY release, id""".stripMargin
   }
 
+  /** q_wide_poi category-hierarchy fixture (the Overture places category
+    * CSV analog, local and deterministic): cat0–cat3 classify under two
+    * depth-2 groups; cat4–cat6 are leaf-only (categories absent from the
+    * CSV become their own level-1 entry, wide_form.py:433-435). */
+  final val PoiFixtureHierarchy: Map[String, Seq[String]] = Map(
+    "cat0" -> Seq("grp0", "cat0"), "cat1" -> Seq("grp1", "cat1"),
+    "cat2" -> Seq("grp0", "cat2"), "cat3" -> Seq("grp1", "cat3"))
+
+  /** q_wide_poi oracle: the observed vocabulary is all 7 categories (every
+    * residue mod 7 survives the quality filter at sf ≥ 0.001), so both
+    * releases' column sets are known at SQL-build time; missing columns
+    * are FALSE, mirroring combineWide's coalesce. */
+  private val widePoiSql: String = {
+    val cats = (0 to 6).map("cat" + _)
+    def cond(c: String) = s"(prim = '$c' OR alt = '$c')"
+    // depth-1 (new release): grouped prefix columns; depth-2 (old): leaves
+    val newCols = Seq(
+      "places|place|cat4" -> cond("cat4"),
+      "places|place|cat5" -> cond("cat5"),
+      "places|place|cat6" -> cond("cat6"),
+      "places|place|grp0" -> s"(${cond("cat0")} OR ${cond("cat2")})",
+      "places|place|grp1" -> s"(${cond("cat1")} OR ${cond("cat3")})")
+    val oldCols = Seq(
+      "places|place|cat4" -> cond("cat4"),
+      "places|place|cat5" -> cond("cat5"),
+      "places|place|cat6" -> cond("cat6"),
+      "places|place|grp0|cat0" -> cond("cat0"),
+      "places|place|grp0|cat2" -> cond("cat2"),
+      "places|place|grp1|cat1" -> cond("cat1"),
+      "places|place|grp1|cat3" -> cond("cat3"))
+    // one canonical column order across the UNION ALL branches (DuckDB
+    // unions by position); the other release's columns are FALSE
+    val allNames = (newCols ++ oldCols).map(_._1).distinct.sorted
+    def sel(live: Map[String, String]): String =
+      allNames.map(n => live.get(n).map(e => s"""$e AS "$n"""")
+        .getOrElse(s"""FALSE AS "$n"""")).mkString(", ")
+    s"""WITH src AS (
+       |  SELECT p_partkey::BIGINT AS id,
+       |         'cat' || CAST(p_partkey % 7 AS VARCHAR) AS prim,
+       |         'cat' || CAST((p_partkey * 3 + 1) % 7 AS VARCHAR) AS alt
+       |  FROM part
+       |  WHERE p_partkey % 11 <> 0 AND (p_partkey % 100) / 100.0 >= 0.75
+       |)
+       |SELECT id, 'new' AS release, ${sel(newCols.toMap)} FROM src
+       |UNION ALL
+       |SELECT id, 'old' AS release, ${sel(oldCols.toMap)} FROM src
+       |ORDER BY release, id""".stripMargin
+  }
+
   /** Half-plane conjunction for the pentagon (convex, CCW): strict interior. */
   private val pentagonInteriorSql: String = {
     val vs = Seq(
@@ -1011,6 +1089,8 @@ object SparkEntry {
         |FROM part WHERE p_size <= 10 ORDER BY p_partkey""".stripMargin,
 
     "q_wide_release" -> wideReleaseSql,
+
+    "q_wide_poi" -> widePoiSql,
 
     "q_multi_convert" ->
       s"""WITH $P, feats AS (

@@ -32,7 +32,16 @@ object FilterInputs {
     * `Wkb.containsPoint` is OR-over-polygons for MultiPolygon, so pooling
     * member polygons IS the union for every way the engine consumes a
     * filter geometry (bbox overlap, containment, cell cover) — no
-    * geometric overlay needed, overlapping members included. */
+    * geometric overlay needed, overlapping members included.
+    *
+    * Known parity gap (documented, accepted): the reference dissolves
+    * multi-feature files with geopandas `union_all()` (cli.py:140-162),
+    * producing overlay-merged boundary rings; the F12 cache-path geometry
+    * hash is computed from the filter WKB, so for multi-feature or
+    * overlapping inputs our pooled-MultiPolygon hash (and hence the cache
+    * FILENAME — never the result rows) differs from the reference's.
+    * A geometric overlay engine exists only for this filename cosmetic,
+    * so we keep the pooled form; see COVERAGE.md. */
   def unionWkb(wkbs: Seq[Array[Byte]]): Array[Byte] = {
     require(wkbs.nonEmpty, "no geometries to union")
     if (wkbs.length == 1) wkbs.head
@@ -60,15 +69,22 @@ object FilterInputs {
 
   /** GeoJSON of any shape: a doc with `"geometry"` members (Feature /
     * FeatureCollection) unions every non-null member geometry; otherwise
-    * the doc itself must be a Polygon/MultiPolygon geometry. */
+    * the doc itself must be a Polygon/MultiPolygon geometry.
+    *
+    * Key detection is a real single-pass scan (string-literal state +
+    * brace depth), not a substring search: a property VALUE equal to
+    * "geometry", or a `properties`-nested key named geometry, must not be
+    * mistaken for a Feature's geometry member. Feature-level keys sit at
+    * depth 2 in a FeatureCollection (root → features[] → feature) and at
+    * depth 1 in a bare Feature. */
   private def fromGeoJsonAny(json: String): Array[Byte] = {
-    val geomKeys = "\"geometry\"".r.findAllMatchIn(json).map(_.end).toSeq
-    val members = geomKeys.flatMap { afterKey =>
+    val keys = scanKeys(json)
+    val featureDepth = if (keys.exists(k => k.name == "features" && k.depth == 1)) 2 else 1
+    val geomKeys = keys.filter(k => k.name == "geometry" && k.depth == featureDepth)
+    val members = geomKeys.flatMap { k =>
       // first non-space char after the colon decides: '{' = geometry
       // object, anything else (e.g. null) = feature without geometry
-      val colon = json.indexOf(':', afterKey)
-      require(colon >= 0, "geometry member without value")
-      var i = colon + 1
+      var i = k.afterColon
       while (i < json.length && json.charAt(i).isWhitespace) i += 1
       if (i < json.length && json.charAt(i) == '{')
         Some(json.substring(i, endOfObject(json, i)))
@@ -79,6 +95,39 @@ object FilterInputs {
       require(members.nonEmpty, "GeoJSON has no non-null feature geometries")
       unionWkb(members.map(fromGeoJson))
     }
+  }
+
+  private case class JsonKey(name: String, depth: Int, afterColon: Int)
+
+  /** All object keys in `json` (a string literal directly followed, after
+    * whitespace, by a colon), with their object-brace depth and the index
+    * just past the colon. String escapes are honored, so quoted content
+    * can never desynchronize the scan. */
+  private def scanKeys(json: String): Seq[JsonKey] = {
+    val keys = scala.collection.mutable.ArrayBuffer[JsonKey]()
+    var depth = 0
+    var i = 0
+    while (i < json.length) {
+      json.charAt(i) match {
+        case '{' => depth += 1; i += 1
+        case '}' => depth -= 1; i += 1
+        case '"' =>
+          val start = i + 1
+          var j = start
+          while (j < json.length && json.charAt(j) != '"') {
+            if (json.charAt(j) == '\\') j += 1
+            j += 1
+          }
+          val name = json.substring(start, math.min(j, json.length))
+          var k = j + 1
+          while (k < json.length && json.charAt(k).isWhitespace) k += 1
+          if (k < json.length && json.charAt(k) == ':')
+            keys += JsonKey(name, depth, k + 1)
+          i = j + 1
+        case _ => i += 1
+      }
+    }
+    keys.toSeq
   }
 
   private def endOfObject(s: String, from: Int): Int = {

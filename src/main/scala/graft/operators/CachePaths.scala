@@ -45,12 +45,17 @@ object CachePaths {
     * list — the string form the reference hashes into the filename
     * (single-predicate form pinned at b22759b5 in CanonicalParitySpec;
     * conjunctions fold left-associatively as pyarrow's `&` repr does).
-    * Strings are double-quoted, numbers bare. None when no filters. */
+    * Strings are double-quoted with `\\` and `\"` escaped (Python repr of
+    * the embedded string), booleans render as Python's `True`/`False`,
+    * numbers bare. None when no filters. */
   def pyarrowFilterRepr(filters: Seq[(String, String, Any)]): Option[String] =
     if (filters.isEmpty) None
     else Some(filters.map { case (c, op, v) =>
       val vr = v match {
-        case s: String => "\"" + s + "\""
+        case s: String =>
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case b: Boolean => if (b) "True" else "False"
+        case b: java.lang.Boolean => if (b) "True" else "False"
         case other => other.toString
       }
       s"($c $op $vr)"

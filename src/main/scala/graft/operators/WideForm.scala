@@ -76,12 +76,18 @@ object WideForm {
   /** POI category pivot column — F3 parity: primary match OR (unless
     * primaryOnly) alternate-array membership (wide_form.py:297-311). */
   def categoryPivotCol(category: String, colName: String, primaryOnly: Boolean,
-                       primaryCol: Column, alternateCol: Column): Column = {
-    val cond =
-      if (primaryOnly) primaryCol === lit(category)
-      else primaryCol === lit(category) || array_contains(alternateCol, category)
-    coalesce(cond, lit(false)).as(colName)
-  }
+                       primaryCol: Column, alternateCol: Column): Column =
+    categoryGroupPivotCol(Seq(category), colName, primaryOnly, primaryCol, alternateCol)
+
+  /** Grouped form: one column per hierarchy prefix, OR over the member
+    * categories' conditions (wide_form.py:297-311 builds exactly this
+    * OR-joined condition list per column_name). */
+  def categoryGroupPivotCol(members: Seq[String], colName: String, primaryOnly: Boolean,
+                            primaryCol: Column, alternateCol: Column): Column =
+    coalesce(members.map { c =>
+      if (primaryOnly) primaryCol === lit(c)
+      else primaryCol === lit(c) || array_contains(alternateCol, c)
+    }.reduce(_ || _), lit(false)).as(colName)
 
   /** P6 parity: POI quality predicate — categories present AND confidence
     * at/above threshold (reference wide_form.py:208-228; default 0.75 at

@@ -43,18 +43,43 @@ case class HierarchyWideForm(theme: String, tpe: String,
 }
 
 /** POI category pivot (places — wide_form.py:170-335): one boolean column
-  * per category, true when primary matches or (unless primaryOnly) the
-  * alternate list contains it; rows pre-filtered by the quality predicate. */
+  * per HIERARCHY PREFIX (truncated at `depth`), true when the primary
+  * category matches any member category of that prefix or (unless
+  * primaryOnly) the alternate list contains one; rows pre-filtered by the
+  * quality predicate.
+  *
+  * Release parity:
+  *  - `release` < 2024-07-22.0 reads the primary category from
+  *    `categories.main` instead of `categories.primary`
+  *    (wide_form.py:248-252; alternate is unversioned) — resolved through
+  *    [[WideFormRegistry.forRelease]], which stamps the release in;
+  *  - `hierarchy` maps a category to its classification levels, coarse →
+  *    fine (the Overture places category CSV the reference fetches at
+  *    wide_form.py:412-436; a network asset, so supplied as a local table
+  *    here). A category absent from the hierarchy is its own level-1
+  *    entry (wide_form.py:433-435); the places max depth is 6
+  *    (wide_form.py:592-599). Categories sharing a truncated prefix merge
+  *    into ONE column by OR-ing their member conditions
+  *    (wide_form.py:297-311). */
 case class PoiWideForm(theme: String = "places", tpe: String = "place",
                        categories: Seq[String] = Nil,
                        primaryOnly: Boolean = false,
-                       minimalConfidence: Double = WideForm.DefaultMinimalConfidence)
+                       minimalConfidence: Double = WideForm.DefaultMinimalConfidence,
+                       release: String = "2024-07-22.0",
+                       hierarchy: Map[String, Seq[String]] = Map.empty)
     extends WideFormDefinition {
-  override def hierarchyColumns: Seq[String] = Seq("categories")
+  override def hierarchyColumns: Seq[String] = (1 to 6).map(_.toString)
   override def downloadColumns: Seq[String] = Seq("categories", "confidence")
   override def downloadPredicate: Option[Column] =
     Some(WideForm.poiQualityPredicate(minimalConfidence))
+
+  /** The struct field carrying the primary category in this release. */
+  def primaryField: String = if (release < "2024-07-22.0") "main" else "primary"
+
   override def pivot(df: DataFrame, keyCols: Seq[String], depth: Option[Int]): DataFrame = {
+    val d = WideForm.checkDepth(theme, tpe, hierarchyColumns, depth)
+    val primCol = col(s"categories.$primaryField")
+    val altCol = col("categories.alternate")
     // quality-filter FIRST: the reference derives the observed category
     // vocabulary from the pre-filtered rows (wide_form.py:170-335) — a
     // category appearing only on low-confidence rows must not become an
@@ -62,13 +87,19 @@ case class PoiWideForm(theme: String = "places", tpe: String = "place",
     val filtered = df.where(downloadPredicate.get)
     val vocab =
       if (categories.nonEmpty) categories
-      else filtered.select(col("categories.primary").as("c"))
-        .union(filtered.select(explode_outer(col("categories.alternate")).as("c")))
+      else filtered.select(primCol.as("c"))
+        .union(filtered.select(explode_outer(altCol).as("c")))
         .where(col("c").isNotNull)
         .distinct().orderBy(col("c")).collect().map(_.getString(0)).toSeq
-    val pivots = vocab.map { c =>
-      WideForm.categoryPivotCol(c, s"$theme|$tpe|$c", primaryOnly,
-        col("categories.primary"), col("categories.alternate"))
+    // wide-column definitions (wide_form.py:474-499): column name =
+    // theme|type|<levels up to depth>; members grouped per name, emitted
+    // sorted by name (the reference's pandas groupby order)
+    val defs: Seq[(String, Seq[String])] = vocab
+      .map(c => ((Seq(theme, tpe) ++ hierarchy.getOrElse(c, Seq(c)).take(d)).mkString("|"), c))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._1)
+    val pivots = defs.map { case (name, members) =>
+      WideForm.categoryGroupPivotCol(members, name, primaryOnly, primCol, altCol)
     }
     filtered.select(keyCols.map(col) ++ pivots: _*)
   }
@@ -108,6 +139,10 @@ object WideFormRegistry {
   def forRelease(release: String): Map[(String, String), WideFormDefinition] = {
     graft.sources.Releases.checkReleaseVersion(release)
     var c = current
+    // places reads `categories.main` below 2024-07-22.0 — the release is
+    // stamped into the definition so the pivot resolves the right field
+    // (wide_form.py:248-252)
+    c = c.updated(("places", "place"), PoiWideForm(release = release))
     if (release < "2024-08-20.0")
       c = c.updated(("transportation", "segment"),
         HierarchyWideForm("transportation", "segment", Seq("subtype", "class")))

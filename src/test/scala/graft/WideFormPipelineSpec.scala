@@ -116,6 +116,55 @@ class WideFormPipelineSpec extends SparkTestBase {
       Set("id", "places|place|bar", "places|place|cafe", "places|place|museum"))
   }
 
+  test("F3 POI release parity: categories.main rename + hierarchy-depth grouping") {
+    // pre-2024-07-22.0 releases carry the primary category in
+    // `categories.main` (wide_form.py:248-252) — the registry stamps the
+    // release so the pivot resolves the right struct field
+    val oldDef = operators.WideFormRegistry.definition("places", "place", "2024-06-13-beta.0")
+      .asInstanceOf[operators.PoiWideForm]
+    assert(oldDef.primaryField == "main")
+    val newDef = operators.WideFormRegistry.definition("places", "place", "2024-09-18.0")
+      .asInstanceOf[operators.PoiWideForm]
+    assert(newDef.primaryField == "primary")
+
+    val hier = Map(
+      "sushi" -> Seq("eat_and_drink", "restaurant", "sushi"),
+      "pizza" -> Seq("eat_and_drink", "restaurant", "pizza"),
+      "museum" -> Seq("attractions", "museum"))
+    def mk(primField: String) = Seq(
+      ("a", 0.99, "sushi", Seq("museum")),
+      ("b", 0.99, "pizza", Seq[String]()),
+      ("c", 0.99, "zoo", Seq[String]())) // not in the hierarchy → own level-1
+      .toDF("id", "confidence", "p", "alt")
+      .select($"id", $"confidence",
+        struct($"p".as(primField), $"alt".as("alternate")).as("categories"))
+
+    // old release reads categories.main; depth None → max (leaf columns)
+    val old = oldDef.copy(hierarchy = hier).pivot(mk("main"), Seq("id"), None)
+    assert(old.columns.toSeq == Seq("id",
+      "places|place|attractions|museum",
+      "places|place|eat_and_drink|restaurant|pizza",
+      "places|place|eat_and_drink|restaurant|sushi",
+      "places|place|zoo"))
+
+    // depth 1 groups member categories into ONE prefix column via OR
+    // (wide_form.py:297-311, 412-436)
+    val d1 = newDef.copy(hierarchy = hier).pivot(mk("primary"), Seq("id"), Some(1))
+      .orderBy($"id")
+    assert(d1.columns.toSeq == Seq("id",
+      "places|place|attractions", "places|place|eat_and_drink", "places|place|zoo"))
+    val rows = d1.collect().map(r =>
+      r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(rows == Map(
+      "a" -> ((true, true, false)),   // alternate museum → attractions; sushi → eat_and_drink
+      "b" -> ((false, true, false)),  // pizza groups under eat_and_drink
+      "c" -> ((false, false, true)))) // zoo = its own level-1 column
+
+    // a release at/after the rename still resolves categories.primary
+    val d2 = newDef.copy(hierarchy = hier).pivot(mk("primary"), Seq("id"), Some(2))
+    assert(d2.columns.contains("places|place|eat_and_drink|restaurant"))
+  }
+
   test("F4 bitset compress/decompress roundtrip") {
     val bools = Seq("b0", "b1", "b2")
     val df = Seq((1L, true, false, true), (2L, false, false, false))
