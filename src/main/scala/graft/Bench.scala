@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main (driver contract): runs the query catalog on
   * SPARK_GRAFT_SF_DIR at local[CPUS], prints ONE JSON line with per-query
@@ -226,6 +227,24 @@ object Bench {
     java.nio.file.Files.writeString(outDir.resolve("last_run.json"), json + "\n")
   }
 
+  /** Persist the COMPLETED run under its own immutable name
+    * (`BENCH/run_<n>.json`, counter from existing files) — cited evidence
+    * must survive later runs; round 3's hardened reading lived only in
+    * `last_run.json` and the next (throttled) run overwrote it in the
+    * working tree. `last_run.json` stays a convenience COPY. */
+  private def writeRunArtifact(json: String): String = {
+    val outDir = java.nio.file.Paths.get("/root/repo/BENCH")
+    java.nio.file.Files.createDirectories(outDir)
+    val re = "run_(\\d+)\\.json".r
+    val next = 1 + java.nio.file.Files.list(outDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case re(n) => n.toInt }
+      .foldLeft(0)(math.max)
+    val name = s"run_$next.json"
+    java.nio.file.Files.writeString(outDir.resolve(name), json + "\n")
+    name
+  }
+
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - wallStart) / 1e9
@@ -306,33 +325,60 @@ object Bench {
     val sweep = scala.collection.mutable.ArrayBuffer[Map[Int, Double]]()
     var roundCost = 0.0
 
+    // Round VALIDITY (judge round-3 item 1): a round's ratio is only
+    // evidence if the host gave us our cores for EVERY leg — every ALU
+    // probe (legs are bracketed: pre-leg probes plus one closing probe)
+    // within 25% of the persisted uncapped floor. A throttled leg
+    // dilates one side of the ratio and fabricates numbers as absurd as
+    // superlinear 1.507 (BENCH_r03's 2-core leg probed 700 ms vs floor
+    // 140); such a round is forensics, never a headline.
+    def roundValid(alus: Seq[Double]): Boolean = alus.forall(_ <= aluMinMs * 1.25)
+    def validIdx(): Seq[Int] = roundAlu.toSeq.zipWithIndex.collect {
+      case (alus, i) if roundValid(alus) => i
+    }
+
     def ladderJson(): String = {
+      val valid = validIdx()
       val legTimes: Map[Int, Seq[Double]] = ladder.map(c => c -> sweep.toSeq.map(_(c))).toMap
-      // Headline throughput per leg = MIN of the reps (noise on a shared VM
-      // is strictly additive, so min is the least-biased cost estimate);
-      // efficiency = MEDIAN of the per-round ratios (same-window samples).
-      val times = legTimes.map { case (c, ts) => c -> ts.min }
-      val medians = legTimes.map { case (c, ts) => c -> median(ts) }
-      val effPairs = ladder.sliding(2).collect {
-        case Seq(hi, lo) if hi == lo * 4 =>
-          // median of same-window ratios cancels slow ambient drift; the
-          // min-based estimator (per-leg min across all rounds) is the
-          // robust one under multi-minute load BURSTS, by the same
-          // noise-is-additive argument as the headline throughput — both
-          // are published, with per-round loadavg for forensics
-          val ratios = sweep.toSeq.map(m => m(lo) / (4.0 * m(hi)))
-          val minBased = legTimes(lo).min / (4.0 * legTimes(hi).min)
-          (lo, hi, median(ratios), ratios, minBased)
-      }.toSeq
+      // per-leg reps restricted to VALID rounds (headline basis); all-round
+      // reps still published for forensics
+      val legTimesValid: Map[Int, Seq[Double]] =
+        ladder.map(c => c -> valid.map(i => sweep(i)(c))).toMap
+      // Headline throughput per leg = MIN of the valid reps (noise on a
+      // shared VM is strictly additive, so min is the least-biased cost
+      // estimate); efficiency = MEDIAN of the valid per-round ratios
+      // (same-window samples). With ZERO valid rounds the artifact refuses
+      // to headline: "throttled":true, no efficiency fields, and
+      // throughput falls back to all-round mins (clearly downgraded data).
+      val throttled = valid.isEmpty
+      val basis = if (throttled) legTimes else legTimesValid
+      val times = basis.map { case (c, ts) => c -> ts.min }
+      val medians = basis.map { case (c, ts) => c -> median(ts) }
+      val effPairs =
+        if (throttled) Seq.empty
+        else ladder.sliding(2).collect {
+          case Seq(hi, lo) if hi == lo * 4 =>
+            // median of same-window ratios cancels slow ambient drift; the
+            // min-based estimator (per-leg min across valid rounds) is the
+            // robust one under multi-minute load BURSTS, by the same
+            // noise-is-additive argument as the headline throughput — both
+            // are published, with per-round loadavg/ALU for forensics
+            val ratios = valid.map(i => sweep(i)(lo) / (4.0 * sweep(i)(hi)))
+            val minBased = legTimesValid(lo).min / (4.0 * legTimesValid(hi).min)
+            (lo, hi, median(ratios), ratios, minBased)
+        }.toSeq
       val thrFields = ladder.map { c =>
         val ts = legTimes(c).map(t => f"$t%.3f").mkString("[", ",", "]")
         s""""pages_per_sec_${c}c":${f"${inputRows / times(c)}%.0f"},"t_${c}c_sec":${f"${times(c)}%.3f"},"t_${c}c_median":${f"${medians(c)}%.3f"},"t_${c}c_reps":$ts"""
       }.mkString(",")
-      val effFields = effPairs.map { case (lo, hi, e, ratios, minBased) =>
+      val validField =
+        s""""round_valid":${roundAlu.map(a => roundValid(a.toSeq)).mkString("[", ",", "]")},""" +
+          s""""valid_rounds":${valid.length},"throttled":$throttled"""
+      val effFields = (validField +: effPairs.map { case (lo, hi, e, ratios, minBased) =>
         val rs = ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
         s""""scaling_efficiency_${lo}to$hi":${f"$e%.3f"},"eff_${lo}to${hi}_samples":$rs,""" +
           s""""scaling_efficiency_${lo}to${hi}_minbased":${f"$minBased%.3f"}"""
-      }.mkString(",")
+      }).mkString(",")
       val loadField =
         s""","loadavg_legs":${roundLoads.map(r =>
           r.map(l => f"$l%.2f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
@@ -350,7 +396,13 @@ object Bench {
     }
 
     var r = 0
-    while (r < maxReps && (r == 0 || elapsed() + roundCost * 1.1 < budgetSec)) {
+    // keep sampling past maxReps while NO round is valid and the budget
+    // still fits another round — a throttle window that eats the first
+    // rounds must not become the run's only (poisoned) evidence; the hard
+    // cap bounds a machine that never goes quiet
+    val hardCap = math.max(maxReps, 6)
+    while ((r < maxReps || (validIdx().isEmpty && r < hardCap)) &&
+      (r == 0 || elapsed() + roundCost * 1.1 < budgetSec)) {
       // spend at most the budget slack (minus the round's expected cost)
       // waiting for external bursts to pass, capped at 90 s per round
       val slack = budgetSec - elapsed() - (if (r == 0) 0.0 else roundCost * 1.1)
@@ -369,8 +421,11 @@ object Bench {
         // per-LEG throttle gate — ALL legs: wide legs are the most
         // throttle-sensitive, but an ambient burst hitting the narrow leg
         // inflates the 2→8 RATIO upward (observed: one poisoned 2c leg
-        // read a superlinear 1.02), which is just as invalid
-        awaitQuiet(30.0, cpus)
+        // read a superlinear 1.02), which is just as invalid. The wait is
+        // bounded by the remaining budget: running a leg that the probe
+        // already proves will be tagged invalid wastes more wall clock
+        // than waiting out the burst.
+        awaitQuiet(math.max(0.0, math.min(60.0, budgetSec - elapsed())), cpus)
         legAlu += aluProbe(cpus) // host-throttle dilation, the real signal
         val s = session(c, adaptive = false)
         // Run allocation per leg: wide legs are hypersensitive to the
@@ -414,6 +469,11 @@ object Bench {
         s.stop()
         c -> t
       }.toMap
+      // closing probe: each leg is now BRACKETED by probes (pre-leg i+1 =
+      // post-leg i). Host bursts run for minutes while a leg runs ≤ ~45 s,
+      // so two quiet endpoints are strong evidence the leg itself was
+      // quiet — and one dirty endpoint tags the whole round invalid.
+      legAlu += aluProbe(cpus)
       roundLoads += legLoads.toSeq
       roundBusy += legBusy.toSeq
       roundDisk += legDisk.toSeq
@@ -451,6 +511,34 @@ object Bench {
 
     val json = ladderJson()
     writeArtifact(json)
+    val runFile = writeRunArtifact(json)
     println(json)
+    // Compact flagship-only JSON as the ABSOLUTE LAST output line: the
+    // driver captures only a log TAIL, and in rounds 1 and 3 the full line
+    // above was long enough that its head (with "metric") fell outside the
+    // window → parsed:null. This line is small enough that no tail capture
+    // can cut it, and carries the graded essentials.
+    val valid = validIdx()
+    // the narrowest N→4N pair (2→8 at cpus=32) — the bandwidth-valid
+    // reading of the criterion (BENCH/BASELINE.md)
+    val narrowPair = ladder.sliding(2).collect {
+      case Seq(hi, lo) if hi == lo * 4 => (lo, hi)
+    }.toSeq.lastOption
+    val eff2to8 = narrowPair match {
+      case Some((lo, hi)) if valid.nonEmpty =>
+        val ratios = valid.map(i => sweep(i)(lo) / (4.0 * sweep(i)(hi)))
+        f""","scaling_efficiency_${lo}to$hi":${median(ratios)}%.3f"""
+      case _ => ""
+    }
+    val t32 = sweep.toSeq.flatMap(_.get(cpus)) match {
+      case ts if ts.nonEmpty => f""","t_${cpus}c_sec":${ts.min}%.3f""" +
+        f""","pages_per_sec_${cpus}c":${inputRows / ts.min}%.0f"""
+      case _ => ""
+    }
+    println(
+      s"""{"metric":"flagship_compact","unit":"sec","value":${f"$total%.3f"},""" +
+        s""""sf":"$sfDir","input_rows":$inputRows$t32$eff2to8,""" +
+        s""""valid_rounds":${valid.length},"rounds":${sweep.length},""" +
+        s""""throttled":${valid.isEmpty},"run_file":"BENCH/$runFile"}""")
   }
 }
