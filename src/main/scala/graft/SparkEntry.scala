@@ -385,6 +385,25 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "m_png_decode" -> ((s, d) => {
+      // REAL codec roundtrip through the decodeFeatures seam: payloads
+      // are genuine PNGs (zlib-deflated IDAT, scanline filter cycling
+      // all five types) built from arithmetic the oracle reproduces;
+      // width/height come out of the decoded IHDR and pixel_sum from the
+      // unfiltered reconstructed pixels — a codec bug cannot cancel out
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val w = (4 + id % 9).toInt
+        val h = (4 + (id * 3) % 9).toInt
+        Multimodal.MediaRow(id, "image/png",
+          Png.encodeGray(w, h, (x, y) => ((id * 31 + 7 * x + 13 * y) % 256).toInt))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixel_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s_knn" -> ((s, d) => {
       SpatialJoin.knnJoin(geoQueries(s, d), pages(s, d), k = 5, res = 7,
         qKeyCol = "q_id", tieCol = "page_id")
@@ -967,6 +986,23 @@ object SparkEntry {
     "e_ann_ivf" -> ivfOracleSql,
     "d_embed_neardup" -> embedNearDupOracleSql,
     "m_multimodal_decode" -> multimodalOracleSql,
+
+    // the PNG payload is built from (doc_id, x, y) arithmetic, so the
+    // oracle reproduces IHDR dims + the unfiltered pixel sum without a
+    // codec: a decoder bug (filters, inflate, CRC) breaks the match
+    "m_png_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 9 AS width, 4 + (doc_id * 3) % 9 AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.width, d.height, gx.x, gy.y
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 12)) AS x) gx ON gx.x < d.width
+        |  JOIN (SELECT unnest(range(0, 12)) AS y) gy ON gy.y < d.height
+        |)
+        |SELECT doc_id, width, height,
+        |       SUM((doc_id * 31 + 7 * x + 13 * y) % 256)::BIGINT AS pixel_sum
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
 
     "d_fingerprint" ->
       """SELECT doc_id,

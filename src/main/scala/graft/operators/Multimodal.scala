@@ -18,7 +18,8 @@ object Multimodal {
 
   case class MediaRow(id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
-                           width: Int, height: Int, features: Array[Float])
+                           width: Int, height: Int, pixel_sum: Long,
+                           features: Array[Float])
 
   final val FeatureDim = 8
 
@@ -41,18 +42,46 @@ object Multimodal {
     (width, height, features)
   }
 
-  /** Batched decode: one decoder instance per partition, streaming over the
-    * rows (the mapPartitions seam — no per-row setup, no driver round-trip;
-    * swap `stubDecode` for a JNI/codec call at deployment). */
+  /** Batched decode: one decoder instance per partition, streaming over
+    * the rows (the mapPartitions seam — no per-row setup, no driver
+    * round-trip). Dispatch on `kind`: `image/png` payloads go through the
+    * REAL codec ([[Png.decode]] — chunk walk, zlib inflate, all five
+    * scanline filters); other kinds use the deterministic stub (no
+    * audio/video libraries in this container). `pixel_sum` and the stripe
+    * features come from the reconstructed pixels for PNG, from the
+    * payload bytes for the stub. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition initialization of the (stub) decoder goes here
+      // per-partition decoder initialization goes here
       rows.map { r =>
-        val (w, h, f) = stubDecode(r.payload)
-        MediaFeatures(r.id, r.kind, r.payload.length, w, h, f)
+        if (r.kind == "image/png") {
+          val dec = Png.decode(r.payload)
+          val (sum, f) = byteStats(dec.pixels)
+          MediaFeatures(r.id, r.kind, r.payload.length, dec.width, dec.height, sum, f)
+        } else {
+          val (w, h, f) = stubDecode(r.payload)
+          val (sum, _) = byteStats(r.payload)
+          MediaFeatures(r.id, r.kind, r.payload.length, w, h, sum, f)
+        }
       }
     }
+  }
+
+  /** Unsigned-byte sum + per-stripe normalized means over `bytes`. */
+  private def byteStats(bytes: Array[Byte]): (Long, Array[Float]) = {
+    var sum = 0L
+    val features = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sum += v
+      features(i % FeatureDim) += v / 255.0f
+      i += 1
+    }
+    if (bytes.nonEmpty)
+      features.indices.foreach(i => features(i) /= math.max(bytes.length / FeatureDim, 1))
+    (sum, features)
   }
 
   case class ResizedMedia(id: Long, kind: String, width: Int, height: Int,
