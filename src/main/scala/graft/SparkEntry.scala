@@ -564,10 +564,15 @@ object SparkEntry {
 
     "e_ann_ivf" -> ((s, d) => {
       // IVF ANN: Voronoi cells around a deterministic centroid sample
-      // (every 50th id); data assigned by a narrow argmax expression,
-      // queries probe their 3 nearest cells, candidates equi-join on cell
+      // (every 50th id) REFINED by two spherical-k-means Lloyd iterations
+      // over a denser sample (every 10th id) — the refinement path is
+      // driver-gated, not just spec-gated. Data assigned by a narrow
+      // argmax expression, queries probe their 3 nearest cells,
+      // candidates equi-join on cell.
       val emb = embeddings(s, d)
-      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", stride = 50)
+      val seed = Similarity.sampleCentroids(emb, "vec_id", "embedding", stride = 50)
+      val cents = Similarity.refineCentroids(emb, "vec_id", "embedding", seed,
+        stride = 10, iters = 2)
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopK(emb.where(col("vec_id") >= 5), qs, cents, k = 3, nProbe = 3)
@@ -920,16 +925,43 @@ object SparkEntry {
        |WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** e_ann_ivf oracle: same deterministic centroid rule (every 50th id),
-    * nearest-centroid assignment and 3-cell probes via cosine argmax
-    * (ties → lower centroid id), candidates joined on the cell, exact
-    * cosine rank. Mirrors Similarity.ivfTopK. */
-  private val ivfOracleSql: String =
-    """WITH v AS (
+  /** e_ann_ivf oracle: same deterministic centroid rule (every 50th id)
+    * plus the SAME two spherical-k-means Lloyd iterations over the
+    * every-10th-id sample (assignment = cosine argmax, ties → lower
+    * centroid id; update = per-(cell, dim) mean; empty cells keep their
+    * centroid), then nearest-centroid assignment, 3-cell probes,
+    * candidates joined on the cell, exact cosine rank. Mirrors
+    * Similarity.refineCentroids + ivfTopK. Output columns are integers;
+    * double-vs-double summation-order ulps can only matter at exact
+    * argmax ties, which the synthetic embeddings don't produce. */
+  private val ivfOracleSql: String = {
+    def lloyd(centsIn: String, assignCte: String, meansCte: String, centsOut: String): String =
+      s"""$assignCte AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT s.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY list_cosine_similarity(s.dv, c.cv) DESC, c.cid ASC) AS rn
+         |    FROM samp s, $centsIn c) WHERE rn = 1
+         |), $meansCte AS (
+         |  SELECT cid, list(m ORDER BY j) AS mv FROM (
+         |    SELECT a.cid AS cid, t.j AS j, AVG(s.dv[t.j]) AS m
+         |    FROM samp s JOIN $assignCte a ON a.vec_id = s.vec_id,
+         |         unnest(range(1, 65)) AS t(j)
+         |    GROUP BY a.cid, t.j)
+         |  GROUP BY cid
+         |), $centsOut AS (
+         |  SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+         |  FROM $centsIn c LEFT JOIN $meansCte m ON m.cid = c.cid
+         |)""".stripMargin
+    s"""WITH v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
-      |), cents AS (
+      |), cents0 AS (
       |  SELECT vec_id AS cid, dv AS cv FROM v WHERE vec_id % 50 = 0
-      |), assign AS (
+      |), samp AS (
+      |  SELECT vec_id, dv FROM v WHERE vec_id % 10 = 0
+      |), ${lloyd("cents0", "lassign1", "lmeans1", "cents1")},
+      |${lloyd("cents1", "lassign2", "lmeans2", "cents")},
+      |assign AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT d.vec_id, c.cid,
       |      row_number() OVER (PARTITION BY d.vec_id
@@ -951,6 +983,7 @@ object SparkEntry {
       |  FROM probes p JOIN assign a ON a.cid = p.cid
       |  JOIN v d ON d.vec_id = a.vec_id JOIN v q ON q.vec_id = p.q_id)
       |WHERE sim_rank <= 3 ORDER BY q_id, sim_rank""".stripMargin
+  }
 
   /** m_multimodal_decode oracle: the deterministic stub codec's 64-bit
     * wraparound byte fold, reproduced with HUGEINT mod-2^64 arithmetic

@@ -123,7 +123,7 @@ class ParityExtrasSpec extends SparkTestBase {
     assert(f.features.toSeq == f2.features.toSeq && f.width == f2.width)
     // schema carries typed metadata
     assert(feats.schema.fieldNames.toSeq ==
-      Seq("id", "kind", "n_bytes", "width", "height", "features"))
+      Seq("id", "kind", "n_bytes", "width", "height", "pixel_sum", "features"))
     // NULL text decodes as an empty payload instead of NPE-ing the task
     val withNull = spark.createDataFrame(Seq((99L, null.asInstanceOf[String])))
       .toDF("doc_id", "text")
