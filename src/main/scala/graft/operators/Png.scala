@@ -39,22 +39,38 @@ object Png {
   // ---------------------------------------------------------------- encode
 
   /** Deterministic grayscale-8 encoder: `pixel(x, y)` ∈ [0, 256). */
-  def encodeGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+  def encodeGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] =
+    encode(width, height, 0, (x, y, _) => pixel(x, y))
+
+  /** Deterministic 8-bit encoder for any supported color type:
+    * `sample(x, y, channel)` ∈ [0, 256), channels per [[channels]].
+    * Scanline filter cycles `y % 5`, so any image taller than 4 rows
+    * exercises every filter type (with the correct `bpp` offsets for
+    * multi-channel Sub/Average/Paeth). */
+  def encode(width: Int, height: Int, colorType: Int,
+             sample: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-    val bpp = 1
-    val raw = new Array[Byte](height * (1 + width * bpp))
+    val bpp = channels(colorType)
+    val stride = width * bpp
+    // reconstructed scanline bytes, row-major — the filter predictors read
+    // reconstructed (not source) neighbors, identical here for a lossless
+    // encoder but laid out byte-wise so bpp offsets are explicit
+    def at(x: Int, y: Int, c: Int): Int = sample(x, y, c) & 0xff
+    val raw = new Array[Byte](height * (1 + stride))
     var pos = 0
     var y = 0
     while (y < height) {
       val filter = y % 5 // cycle all five filter types
       raw(pos) = filter.toByte
       pos += 1
-      var x = 0
-      while (x < width) {
-        val v = pixel(x, y) & 0xff
-        val left = if (x >= 1) pixel(x - 1, y) & 0xff else 0
-        val up = if (y >= 1) pixel(x, y - 1) & 0xff else 0
-        val ul = if (x >= 1 && y >= 1) pixel(x - 1, y - 1) & 0xff else 0
+      var i = 0
+      while (i < stride) {
+        val x = i / bpp
+        val c = i % bpp
+        val v = at(x, y, c)
+        val left = if (x >= 1) at(x - 1, y, c) else 0
+        val up = if (y >= 1) at(x, y - 1, c) else 0
+        val ul = if (x >= 1 && y >= 1) at(x - 1, y - 1, c) else 0
         val pred = filter match {
           case 0 => 0
           case 1 => left
@@ -64,7 +80,7 @@ object Png {
         }
         raw(pos) = ((v - pred) & 0xff).toByte
         pos += 1
-        x += 1
+        i += 1
       }
       y += 1
     }
@@ -72,7 +88,7 @@ object Png {
     writeIntBE(ihdr, 0, width)
     writeIntBE(ihdr, 4, height)
     ihdr(8) = 8 // bit depth
-    ihdr(9) = 0 // color type: grayscale
+    ihdr(9) = colorType.toByte
     // compression=0, filter=0, interlace=0 already zero
     val out = new java.io.ByteArrayOutputStream()
     out.write(Signature)

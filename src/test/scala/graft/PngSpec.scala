@@ -22,6 +22,21 @@ class PngSpec extends SparkTestBase {
     }
   }
 
+  test("multi-channel roundtrip: RGB and RGBA filter offsets (bpp > 1)") {
+    // Sub/Average/Paeth predict from the byte bpp positions back — a bpp
+    // bug reconstructs garbage on any multi-channel image taller than 4
+    def sample(id: Long)(x: Int, y: Int, c: Int): Int =
+      ((id * 31 + 7 * x + 13 * y + 41 * c) % 256).toInt
+    for ((colorType, ch) <- Seq(2 -> 3, 4 -> 2, 6 -> 4)) {
+      val (w, h) = (9, 11)
+      val dec = Png.decode(Png.encode(w, h, colorType, sample(9)))
+      assert(dec.width == w && dec.height == h && dec.channels == ch)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert((dec.pixels((y * w + x) * ch + c) & 0xff) == sample(9)(x, y, c),
+          s"sample mismatch at ($x,$y,$c) colorType=$colorType")
+    }
+  }
+
   test("decoder verifies chunk CRCs and rejects corrupt/truncated streams") {
     val png = Png.encodeGray(8, 8, px(7))
     // flip one byte inside the IDAT payload → CRC must catch it
