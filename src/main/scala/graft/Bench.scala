@@ -262,6 +262,18 @@ object Bench {
     v
   }
 
+  /** Round VALIDITY (judge round-3 item 1): a round's ratio is only
+    * evidence if the host gave us our cores for EVERY leg — every ALU
+    * probe (legs are bracketed: pre-leg probes plus one closing probe)
+    * within 25% of the persisted uncapped floor. A throttled leg dilates
+    * one side of the ratio and fabricates numbers as absurd as
+    * superlinear 1.507 (BENCH_r03's 2-core leg probed 700 ms vs floor
+    * 140); such a round is forensics, never a headline. Pure — unit
+    * spec'd in `BenchValiditySpec` with the round-3 forensic values. */
+  private[graft] def roundIsValid(alus: Seq[Double], floorMs: Double,
+                                  tolerance: Double = 1.25): Boolean =
+    alus.nonEmpty && alus.forall(_ <= floorMs * tolerance)
+
   /** Wait (bounded) until the host gives us our cores back: probe the
     * fixed ALU quantum until it lands within 25% of the best-seen value.
     * This VM's bursts run for single-digit minutes and poison every leg
@@ -388,14 +400,7 @@ object Bench {
     var roundCost = 0.0
     var layoutJson = ""
 
-    // Round VALIDITY (judge round-3 item 1): a round's ratio is only
-    // evidence if the host gave us our cores for EVERY leg — every ALU
-    // probe (legs are bracketed: pre-leg probes plus one closing probe)
-    // within 25% of the persisted uncapped floor. A throttled leg
-    // dilates one side of the ratio and fabricates numbers as absurd as
-    // superlinear 1.507 (BENCH_r03's 2-core leg probed 700 ms vs floor
-    // 140); such a round is forensics, never a headline.
-    def roundValid(alus: Seq[Double]): Boolean = alus.forall(_ <= aluMinMs * 1.25)
+    def roundValid(alus: Seq[Double]): Boolean = roundIsValid(alus, aluMinMs)
     def validIdx(): Seq[Int] = roundAlu.toSeq.zipWithIndex.collect {
       case (alus, i) if roundValid(alus) => i
     }

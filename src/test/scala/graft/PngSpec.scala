@@ -1,6 +1,8 @@
 package graft
 
 import graft.operators.{Multimodal, Png}
+import org.scalacheck.{Gen, Prop, Test => SC}
+import org.scalacheck.rng.Seed
 
 /** Real-codec coverage: the PNG encoder/decoder pair behind the
   * `decodeFeatures` multimodal seam. */
@@ -8,6 +10,31 @@ class PngSpec extends SparkTestBase {
   import spark.implicits._
 
   private def px(id: Long)(x: Int, y: Int): Int = ((id * 31 + 7 * x + 13 * y) % 256).toInt
+
+  test("property: random images roundtrip bit-exactly (all color types, pinned seed)") {
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      colorType <- Gen.oneOf(0, 2, 4, 6)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (w, h, colorType, seed)
+    val prop = Prop.forAll(gen) { case (w, h, colorType, seed) =>
+      // splitmix-style pixel noise: adversarial for the filter predictors
+      def sample(x: Int, y: Int, c: Int): Int = {
+        var z = seed + x * 0x9E3779B97F4A7C15L + y * 0xBF58476D1CE4E5B9L + c * 0x94D049BB133111EBL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        ((z >>> 33) & 0xff).toInt
+      }
+      val dec = Png.decode(Png.encode(w, h, colorType, sample))
+      val ch = dec.channels
+      dec.width == w && dec.height == h &&
+        (0 until h).forall(y => (0 until w).forall(x => (0 until ch).forall(c =>
+          (dec.pixels((y * w + x) * ch + c) & 0xff) == sample(x, y, c))))
+    }
+    val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(150)
+      .withInitialSeed(Seed(20260817L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 
   test("roundtrip reconstructs every pixel across all five filter types") {
     // height ≥ 5 ⇒ the encoder's y%5 cycle exercises None/Sub/Up/Avg/Paeth
