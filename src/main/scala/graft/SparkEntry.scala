@@ -531,6 +531,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_dup_clusters" -> ((s, d) => {
+      // the step AFTER pair generation in a real dedup pipeline: collapse
+      // the near-dup pair graph (same params as d_minhash_pairs) into
+      // duplicate clusters via large-star/small-star connected components;
+      // component == min doc_id, so `doc_id = component` marks the
+      // representative a keep-one pass would retain
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1,
+        signature = Dedup.minhashSignaturePortable)
+      Components.labelNodes(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_sample_hash" -> ((s, d) => {
+      // reproducible train/holdout assignment: hash the id, never rand()
+      documents(s, d).select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), 1000).as("bucket"),
+          Sampling.hashSplit(col("doc_id"), 1000, 50).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_source_cap" -> ((s, d) => {
+      // per-source document quota (web-corpus domain balancing): at most
+      // 10 docs per source, chosen by the deterministic hash order; the
+      // salted two-phase plan is proven identical to the plain window in
+      // SamplingSpec — the oracle is the plain window
+      Sampling.perKeyCap(documents(s, d), "source",
+          Dedup.hash60(col("doc_id").cast("string")), "doc_id", k = 10, salt = 8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m_binary_meta" -> ((s, d) => {
       // multimodal plumbing: opaque binary column + typed metadata
       documents(s, d)
@@ -784,10 +817,10 @@ object SparkEntry {
     * two 60-bit halves → 32 lanes) → 16 band buckets → distinct candidate
     * pairs → est-jaccard verify. Mirrors
     * Dedup.minhashLshPairs(laneHashes = portableLaneHashes(32)) exactly. */
-  private val minhashOracleSql: String = {
+  private val minhashCtes: String = {
     val h1 = hexFoldSql("s", 1)
     val h2 = hexFoldSql("s", 17)
-    s"""WITH $toksCte, sh AS (
+    s"""$toksCte, sh AS (
        |  SELECT doc_id, CASE WHEN len(tk) >= 2
        |    THEN list_distinct(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))
        |    ELSE [] END AS sh
@@ -809,10 +842,32 @@ object SparkEntry {
        |  SELECT id_a, id_b,
        |    CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS agree
        |  FROM cand
-       |)
+       |)""".stripMargin
+  }
+
+  private val minhashOracleSql: String =
+    s"""WITH $minhashCtes
        |SELECT id_a, id_b, CAST(round(agree * 10000.0 / 32) AS BIGINT) AS est_e4
        |FROM est WHERE agree / 32.0 >= 0.1 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Duplicate-cluster oracle: the minhash pair pipeline above, then the
+    * transitive closure as a recursive CTE (UNION dedup terminates it) and
+    * min-reachable-id labels; singletons fall out of the LEFT JOIN. */
+  private val dupClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtes, pairs AS (
+       |  SELECT id_a, id_b FROM est WHERE agree / 32.0 >= 0.1
+       |), sym AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |), reach(n, m) AS (
+       |  SELECT u, v FROM sym
+       |  UNION SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m
+       |), labels AS (
+       |  SELECT n, least(n, min(m)) AS comp FROM reach GROUP BY n
+       |)
+       |SELECT d.doc_id, CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
+       |FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Full SimHash oracle: portable token hashes → 60-bit sign-vote
     * fingerprint → 4×15-bit band buckets → exact Hamming <= 3 verify.
@@ -1013,6 +1068,26 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "d_minhash_pairs" -> minhashOracleSql,
+    "d_dup_clusters" -> dupClustersOracleSql,
+
+    // DuckDB twin of Sampling.hashBucket/hashSplit: same 60-bit md5 fold
+    "d_sample_hash" ->
+      s"""SELECT doc_id,
+         |  ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+         |  CASE WHEN ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 < 50
+         |       THEN 'holdout' ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the salted two-phase cap is proven identical to the plain window in
+    // SamplingSpec, so the oracle IS the plain window
+    "d_source_cap" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${hash60Sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+         |  FROM documents
+         |)
+         |SELECT doc_id, source FROM ranked WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "d_simhash_pairs" -> simhashOracleSql,
     "s_hilbert_order" -> hilbertOracleSql,
     "e_ann_lsh" -> annOracleSql,
