@@ -7,6 +7,55 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
 
+/** Scalar kernels shared by interpreted eval and generated code.
+  *
+  * TOP-LEVEL object on purpose: an object nested in `VectorExpressions`
+  * compiles to JVM class `VectorExpressions$VecOps$`, which Janino cannot
+  * resolve from the `VectorExpressions.VecOps$.MODULE$` spelling — every
+  * generated projection failed to compile and Spark silently fell back to
+  * INTERPRETED eval for the whole projection/predicate (the exact hot-path
+  * regression these expressions exist to avoid). A top-level object gets
+  * static forwarders, so generated code calls `graft.functions.VecOps
+  * .dotLong(...)` as a plain static method. */
+object VecOps {
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Top-n centroid ids by (cosine desc, id asc) for one vector.
+    * Bit-identical to the HOF/DuckDB form: per-index double products
+    * summed left-to-right, cos = dot / (sqrt(‖c‖²)·sqrt(‖v‖²)). */
+  def nearestCentroids(v: ArrayData, cents: Array[Array[Double]],
+                       ids: Array[Long], n: Int): ArrayData = {
+    val dim = v.numElements()
+    val vd = new Array[Double](dim)
+    var nb = 0.0
+    var i = 0
+    while (i < dim) { vd(i) = v.getDouble(i); nb += vd(i) * vd(i); i += 1 }
+    val nbs = math.sqrt(nb)
+    val k = cents.length
+    val negcos = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)
+      val m = math.min(dim, cv.length)
+      var dot = 0.0
+      var na = 0.0
+      var j = 0
+      while (j < m) { dot += vd(j) * cv(j); na += cv(j) * cv(j); j += 1 }
+      negcos(c) = -(dot / (math.sqrt(na) * nbs))
+      c += 1
+    }
+    val order = Array.range(0, k).sortBy(x => (negcos(x), ids(x)))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.take(math.min(n, k)).map(ids(_)))
+  }
+}
+
 /** Native codegen'd vector kernels.
   *
   * Spark's higher-order functions (`aggregate`, `zip_with`) are
@@ -19,17 +68,6 @@ import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
   */
 object VectorExpressions {
 
-  /** Scalar kernel shared by interpreted eval and generated code. */
-  object VecOps {
-    def dotLong(a: ArrayData, b: ArrayData): Long = {
-      val n = math.min(a.numElements(), b.numElements())
-      var i = 0
-      var s = 0L
-      while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
-      s
-    }
-  }
-
   /** vec_dot_long(array<long>, array<long>) → long — element-wise dot. */
   case class DotLong(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -38,44 +76,13 @@ object VectorExpressions {
       VecOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.VectorExpressions.VecOps$$.MODULE$$.dotLong($a, $b)")
+        s"graft.functions.VecOps.dotLong($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
 
   def vec_dot_long(a: Column, b: Column): Column =
     toColumn(DotLong(toExpression(a), toExpression(b)))
-
-  object VecOps2 {
-    /** Top-n centroid ids by (cosine desc, id asc) for one vector.
-      * Bit-identical to the HOF/DuckDB form: per-index double products
-      * summed left-to-right, cos = dot / (sqrt(‖c‖²)·sqrt(‖v‖²)). */
-    def nearestCentroids(v: ArrayData, cents: Array[Array[Double]],
-                         ids: Array[Long], n: Int): ArrayData = {
-      val dim = v.numElements()
-      val vd = new Array[Double](dim)
-      var nb = 0.0
-      var i = 0
-      while (i < dim) { vd(i) = v.getDouble(i); nb += vd(i) * vd(i); i += 1 }
-      val nbs = math.sqrt(nb)
-      val k = cents.length
-      val negcos = new Array[Double](k)
-      var c = 0
-      while (c < k) {
-        val cv = cents(c)
-        val m = math.min(dim, cv.length)
-        var dot = 0.0
-        var na = 0.0
-        var j = 0
-        while (j < m) { dot += vd(j) * cv(j); na += cv(j) * cv(j); j += 1 }
-        negcos(c) = -(dot / (math.sqrt(na) * nbs))
-        c += 1
-      }
-      val order = Array.range(0, k).sortBy(x => (negcos(x), ids(x)))
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        order.take(math.min(n, k)).map(ids(_)))
-    }
-  }
 
   /** nearest_centroids(vec, n) → array<long> of the n best centroid ids by
     * (cosine desc, id asc). The centroid matrix rides along as a plan
@@ -89,12 +96,12 @@ object VectorExpressions {
     require(ids.length == cents.length && n >= 1)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      VecOps2.nearestCentroids(v.asInstanceOf[ArrayData], cents, ids, n)
+      VecOps.nearestCentroids(v.asInstanceOf[ArrayData], cents, ids, n)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val refC = ctx.addReferenceObj("cents", cents, "double[][]")
       val refI = ctx.addReferenceObj("ids", ids, "long[]")
       defineCodeGen(ctx, ev, v =>
-        s"graft.functions.VectorExpressions.VecOps2$$.MODULE$$.nearestCentroids($v, $refC, $refI, $n)")
+        s"graft.functions.VecOps.nearestCentroids($v, $refC, $refI, $n)")
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
