@@ -545,6 +545,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_dedup_keep_best" -> ((s, d) => {
+      // representative selection — the pipeline's final step: pairs →
+      // clusters → keep ONE doc per cluster (longest, tie = lowest id).
+      // One row_number window partitioned by component; the pair graph
+      // and labels are the same plan as d_dup_clusters
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1,
+        signature = Dedup.minhashSignaturePortable)
+      val labels = Components.labelNodes(docs, "doc_id", pairs, "id_a", "id_b")
+      val withLen = docs
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .join(labels, "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      withLen.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"), col("n_tokens"))
+        .orderBy(col("component"))
+    }),
+
     "d_sample_hash" -> ((s, d) => {
       // reproducible train/holdout assignment: hash the id, never rand()
       documents(s, d).select(col("doc_id"),
@@ -853,8 +874,8 @@ object SparkEntry {
   /** Duplicate-cluster oracle: the minhash pair pipeline above, then the
     * transitive closure as a recursive CTE (UNION dedup terminates it) and
     * min-reachable-id labels; singletons fall out of the LEFT JOIN. */
-  private val dupClustersOracleSql: String =
-    s"""WITH RECURSIVE $minhashCtes, pairs AS (
+  private val dupLabelCtes: String =
+    s"""$minhashCtes, pairs AS (
        |  SELECT id_a, id_b FROM est WHERE agree / 32.0 >= 0.1
        |), sym AS (
        |  SELECT id_a AS u, id_b AS v FROM pairs
@@ -864,10 +885,28 @@ object SparkEntry {
        |  UNION SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m
        |), labels AS (
        |  SELECT n, least(n, min(m)) AS comp FROM reach GROUP BY n
-       |)
+       |)""".stripMargin
+
+  private val dupClustersOracleSql: String =
+    s"""WITH RECURSIVE $dupLabelCtes
        |SELECT d.doc_id, CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component
        |FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Keep-best oracle: cluster labels as above, then one representative
+    * per cluster by (n_tokens desc, doc_id asc). */
+  private val dedupKeepBestOracleSql: String =
+    s"""WITH RECURSIVE $dupLabelCtes, comp AS (
+       |  SELECT d.doc_id, CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS component,
+       |    len(list_filter(string_split_regex(d.text, '\\s+'), x -> len(x) > 0)) AS n_tokens
+       |  FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
+       |), ranked AS (
+       |  SELECT component, doc_id AS keep_id, n_tokens, row_number() OVER (
+       |    PARTITION BY component ORDER BY n_tokens DESC, doc_id ASC) AS rn
+       |  FROM comp
+       |)
+       |SELECT component, keep_id, n_tokens FROM ranked WHERE rn = 1
+       |ORDER BY component""".stripMargin
 
   /** Full SimHash oracle: portable token hashes → 60-bit sign-vote
     * fingerprint → 4×15-bit band buckets → exact Hamming <= 3 verify.
@@ -1069,6 +1108,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "d_minhash_pairs" -> minhashOracleSql,
     "d_dup_clusters" -> dupClustersOracleSql,
+    "d_dedup_keep_best" -> dedupKeepBestOracleSql,
 
     // DuckDB twin of Sampling.hashBucket/hashSplit: same 60-bit md5 fold
     "d_sample_hash" ->
