@@ -274,6 +274,20 @@ object Bench {
                                   tolerance: Double = 1.25): Boolean =
     alus.nonEmpty && alus.forall(_ <= floorMs * tolerance)
 
+  /** Leg VALIDITY — the finer-grained rule the round-4 artifacts showed we
+    * need: a single ladder LEG's time is evidence iff the two probes
+    * BRACKETING that leg are both quiet. Round-level gating threw away
+    * provably clean legs: run_9 round 2 probed [240,146,146,299] — its 8c
+    * leg sat between two 146 ms probes (clean, and its time matched the
+    * quiet-window reference) yet the dirty endpoints discarded the whole
+    * round. The gate per leg is UNCHANGED (every bracketing probe ≤
+    * tolerance × floor); an efficiency sample still requires BOTH of its
+    * legs valid in the same round. */
+  private[graft] def legIsValid(alus: Seq[Double], leg: Int, floorMs: Double,
+                                tolerance: Double = 1.25): Boolean =
+    alus.length > leg + 1 &&
+      alus(leg) <= floorMs * tolerance && alus(leg + 1) <= floorMs * tolerance
+
   /** Wait (bounded) until the host gives us our cores back: probe the
     * fixed ALU quantum until it lands within 25% of the best-seen value.
     * This VM's bursts run for single-digit minutes and poison every leg
@@ -404,43 +418,68 @@ object Bench {
     def validIdx(): Seq[Int] = roundAlu.toSeq.zipWithIndex.collect {
       case (alus, i) if roundValid(alus) => i
     }
+    val legPos: Map[Int, Int] = ladder.zipWithIndex.toMap
+    def legValidIdx(c: Int): Seq[Int] = roundAlu.toSeq.zipWithIndex.collect {
+      case (alus, i) if legIsValid(alus, legPos(c), aluMinMs) => i
+    }
+    val effLadderPairs: Seq[(Int, Int)] = ladder.sliding(2).collect {
+      case Seq(hi, lo) if hi == lo * 4 => (lo, hi)
+    }.toSeq
+    // rounds whose (lo, hi) legs are BOTH valid — the efficiency samples
+    def pairValidIdx(lo: Int, hi: Int): Seq[Int] =
+      legValidIdx(lo).toSet.intersect(legValidIdx(hi).toSet).toSeq.sorted
+    def anyValidPair(): Boolean =
+      effLadderPairs.exists { case (lo, hi) => pairValidIdx(lo, hi).nonEmpty }
 
     def ladderJson(): String = {
       val valid = validIdx()
       val legTimes: Map[Int, Seq[Double]] = ladder.map(c => c -> sweep.toSeq.map(_(c))).toMap
-      // per-leg reps restricted to VALID rounds (headline basis); all-round
-      // reps still published for forensics
+      // per-leg reps restricted to rounds where THAT LEG is valid
+      // (bracketing probes quiet — headline basis); all-round reps still
+      // published for forensics
       val legTimesValid: Map[Int, Seq[Double]] =
-        ladder.map(c => c -> valid.map(i => sweep(i)(c))).toMap
-      // Headline throughput per leg = MIN of the valid reps (noise on a
-      // shared VM is strictly additive, so min is the least-biased cost
-      // estimate); efficiency = MEDIAN of the valid per-round ratios
-      // (same-window samples). With ZERO valid rounds the artifact refuses
-      // to headline: "throttled":true, no efficiency fields, and
-      // throughput falls back to all-round mins (clearly downgraded data).
-      val throttled = valid.isEmpty
-      val basis = if (throttled) legTimes else legTimesValid
-      val times = basis.map { case (c, ts) => c -> ts.min }
-      val medians = basis.map { case (c, ts) => c -> median(ts) }
-      val effPairs =
-        if (throttled) Seq.empty
-        else ladder.sliding(2).collect {
-          case Seq(hi, lo) if hi == lo * 4 =>
-            // median of same-window ratios cancels slow ambient drift; the
-            // min-based estimator (per-leg min across valid rounds) is the
-            // robust one under multi-minute load BURSTS, by the same
-            // noise-is-additive argument as the headline throughput — both
-            // are published, with per-round loadavg/ALU for forensics
-            val ratios = valid.map(i => sweep(i)(lo) / (4.0 * sweep(i)(hi)))
-            val minBased = legTimesValid(lo).min / (4.0 * legTimesValid(hi).min)
-            (lo, hi, median(ratios), ratios, minBased)
-        }.toSeq
+        ladder.map(c => c -> legValidIdx(c).map(i => sweep(i)(c))).toMap
+      // Headline throughput per leg = MIN of that leg's valid reps (noise
+      // on a shared VM is strictly additive, so min is the least-biased
+      // cost estimate); efficiency = MEDIAN of the per-round ratios over
+      // rounds where BOTH legs of the pair are valid (same-window
+      // samples). With ZERO valid pairs the artifact refuses to headline:
+      // "throttled":true, no efficiency fields; a leg with zero valid reps
+      // falls back to its all-round min (clearly downgraded data).
+      val throttled = !anyValidPair()
+      val times = ladder.map { c =>
+        val ts = legTimesValid(c)
+        c -> (if (ts.nonEmpty) ts.min else legTimes(c).min)
+      }.toMap
+      val medians = ladder.map { c =>
+        val ts = legTimesValid(c)
+        c -> (if (ts.nonEmpty) median(ts) else median(legTimes(c)))
+      }.toMap
+      val effPairs = effLadderPairs.flatMap { case (lo, hi) =>
+        val idx = pairValidIdx(lo, hi)
+        if (idx.isEmpty) None
+        else {
+          // median of same-window ratios cancels slow ambient drift; the
+          // min-based estimator (per-leg min across pair-valid rounds) is
+          // the robust one under multi-minute load BURSTS, by the same
+          // noise-is-additive argument as the headline throughput — both
+          // are published, with per-round loadavg/ALU for forensics
+          val ratios = idx.map(i => sweep(i)(lo) / (4.0 * sweep(i)(hi)))
+          val minBased =
+            idx.map(i => sweep(i)(lo)).min / (4.0 * idx.map(i => sweep(i)(hi)).min)
+          Some((lo, hi, median(ratios), ratios, minBased))
+        }
+      }
       val thrFields = ladder.map { c =>
         val ts = legTimes(c).map(t => f"$t%.3f").mkString("[", ",", "]")
         s""""pages_per_sec_${c}c":${f"${inputRows / times(c)}%.0f"},"t_${c}c_sec":${f"${times(c)}%.3f"},"t_${c}c_median":${f"${medians(c)}%.3f"},"t_${c}c_reps":$ts"""
       }.mkString(",")
+      val legValidField = roundAlu.map(alus =>
+        ladder.indices.map(j => legIsValid(alus.toSeq, j, aluMinMs))
+          .mkString("[", ",", "]")).mkString("[", ",", "]")
       val validField =
         s""""round_valid":${roundAlu.map(a => roundValid(a.toSeq)).mkString("[", ",", "]")},""" +
+          s""""leg_valid":$legValidField,""" +
           s""""valid_rounds":${valid.length},"throttled":$throttled"""
       val effFields = (validField +: effPairs.map { case (lo, hi, e, ratios, minBased) =>
         val rs = ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
@@ -470,16 +509,27 @@ object Bench {
     // rounds must not become the run's only (poisoned) evidence; the hard
     // cap bounds a machine that never goes quiet
     val hardCap = math.max(maxReps, 6)
-    while ((r < maxReps || (validIdx().isEmpty && r < hardCap)) &&
-      (r == 0 || elapsed() + roundCost * 1.1 < budgetSec)) {
+    // book extra rounds against the CHEAPEST observed round, not the last
+    // one: a burst-dilated round costs ~4× a quiet one (run_9: 348 s vs
+    // ~90 s), and booking at the dilated cost talked the guard out of a
+    // third round exactly when the air had cleared. The driver's real
+    // wall-clock limit sits far above budgetSec (round 3's 3110 s run
+    // completed), so a modest overshoot on the LAST round is safe.
+    var minRoundCost = Double.MaxValue
+    while ((r < maxReps || (!anyValidPair() && r < hardCap)) &&
+      (r == 0 || elapsed() + minRoundCost * 1.1 < budgetSec)) {
       // spend at most the budget slack (minus the round's expected cost)
-      // waiting for external bursts to pass, capped at 90 s per round
-      val slack = budgetSec - elapsed() - (if (r == 0) 0.0 else roundCost * 1.1)
-      awaitQuiet(math.max(0.0, math.min(90.0, slack)), cpus)
+      // waiting for external bursts to pass — 90 s cap once a valid pair
+      // exists, 180 s while none does (bursts run minutes; sleeping is
+      // cheaper than timing legs the probe already condemns)
+      val slack = budgetSec - elapsed() - (if (r == 0) 0.0 else minRoundCost * 1.1)
+      val patience = if (anyValidPair()) 90.0 else 180.0
+      awaitQuiet(math.max(0.0, math.min(patience, slack)), cpus)
       // roundCost is measured from AFTER the quiet wait: the wait is
       // elective (bounded by remaining slack next time), and counting it
       // would talk the guard out of rounds that actually fit
       val t0 = elapsed()
+      var legWaitSec = 0.0 // elective in-round quiet waits, excluded from booking
       val legLoads = scala.collection.mutable.ArrayBuffer[Double]()
       val legBusy = scala.collection.mutable.ArrayBuffer[Double]()
       val legDisk = scala.collection.mutable.ArrayBuffer[Double]()
@@ -494,7 +544,10 @@ object Bench {
         // bounded by the remaining budget: running a leg that the probe
         // already proves will be tagged invalid wastes more wall clock
         // than waiting out the burst.
-        awaitQuiet(math.max(0.0, math.min(60.0, budgetSec - elapsed())), cpus)
+        val w0 = elapsed()
+        awaitQuiet(math.max(0.0, math.min(if (anyValidPair()) 60.0 else 150.0,
+          budgetSec - elapsed())), cpus)
+        legWaitSec += elapsed() - w0
         legAlu += aluProbe(cpus) // host-throttle dilation, the real signal
         val s = session(c, adaptive = false)
         // Run allocation per leg: wide legs are hypersensitive to the
@@ -548,7 +601,12 @@ object Bench {
       roundDisk += legDisk.toSeq
       roundAlu += legAlu.toSeq
       sweep += round
-      roundCost = elapsed() - t0
+      // book at COMPUTE cost: in-round quiet waits are elective (each is
+      // already bounded by remaining budget when it happens) — run_10
+      // spent 450 s of its only round waiting out a sustained burst, and
+      // counting that wait booked out a second round entirely
+      roundCost = elapsed() - t0 - legWaitSec
+      minRoundCost = math.min(minRoundCost, roundCost)
       mark(s"round${r + 1}")
       writeArtifact(ladderJson()) // per-round checkpoint: timeouts keep data
       r += 1
@@ -607,19 +665,22 @@ object Bench {
     // above was long enough that its head (with "metric") fell outside the
     // window → parsed:null. This line is small enough that no tail capture
     // can cut it, and carries the graded essentials.
-    val valid = validIdx()
     // the narrowest N→4N pair (2→8 at cpus=32) — the bandwidth-valid
-    // reading of the criterion (BENCH/BASELINE.md)
-    val narrowPair = ladder.sliding(2).collect {
-      case Seq(hi, lo) if hi == lo * 4 => (lo, hi)
-    }.toSeq.lastOption
-    val eff2to8 = narrowPair match {
-      case Some((lo, hi)) if valid.nonEmpty =>
-        val ratios = valid.map(i => sweep(i)(lo) / (4.0 * sweep(i)(hi)))
-        f""","scaling_efficiency_${lo}to$hi":${median(ratios)}%.3f"""
+    // reading of the criterion (BENCH/BASELINE.md); efficiency = median
+    // over rounds where BOTH legs of the pair are valid
+    val eff2to8 = effLadderPairs.lastOption match {
+      case Some((lo, hi)) if pairValidIdx(lo, hi).nonEmpty =>
+        val idx = pairValidIdx(lo, hi)
+        val ratios = idx.map(i => sweep(i)(lo) / (4.0 * sweep(i)(hi)))
+        f""","scaling_efficiency_${lo}to$hi":${median(ratios)}%.3f""" +
+          s""","eff_${lo}to${hi}_n":${idx.length}"""
       case _ => ""
     }
-    val t32 = sweep.toSeq.flatMap(_.get(cpus)) match {
+    val t32reps = legValidIdx(cpus).map(i => sweep(i)(cpus)) match {
+      case ts if ts.nonEmpty => ts
+      case _ => sweep.toSeq.flatMap(_.get(cpus))
+    }
+    val t32 = t32reps match {
       case ts if ts.nonEmpty => f""","t_${cpus}c_sec":${ts.min}%.3f""" +
         f""","pages_per_sec_${cpus}c":${inputRows / ts.min}%.0f"""
       case _ => ""
@@ -627,7 +688,7 @@ object Bench {
     println(
       s"""{"metric":"flagship_compact","unit":"sec","value":${f"$total%.3f"},""" +
         s""""sf":"$sfDir","input_rows":$inputRows$t32$eff2to8,""" +
-        s""""valid_rounds":${valid.length},"rounds":${sweep.length},""" +
-        s""""throttled":${valid.isEmpty},"run_file":"BENCH/$runFile"}""")
+        s""""valid_rounds":${validIdx().length},"rounds":${sweep.length},""" +
+        s""""throttled":${!anyValidPair()},"run_file":"BENCH/$runFile"}""")
   }
 }

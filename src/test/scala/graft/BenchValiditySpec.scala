@@ -21,6 +21,26 @@ class BenchValiditySpec extends AnyFunSuite {
     assert(!Bench.roundIsValid(Seq(145, 407, 155), 140))
   }
 
+  test("leg validity: run_9 round 2 keeps its clean 8c leg, drops the rest") {
+    // BENCH/run_9.json round 2 probed [240,146,146,299] (floor 139) with
+    // ladder order (32c, 8c, 2c): the 8c leg sat between two quiet probes
+    // and its 13.2 s matched the quiet-window reference, but round-level
+    // gating discarded it. Leg-level keeps it — and still rejects the legs
+    // actually bracketed by dirty probes.
+    val alus = Seq[Double](240, 146, 146, 299)
+    assert(!Bench.legIsValid(alus, 0, 139)) // 32c: 240 dirty
+    assert(Bench.legIsValid(alus, 1, 139))  // 8c: 146/146 quiet
+    assert(!Bench.legIsValid(alus, 2, 139)) // 2c: 299 dirty
+    // an efficiency sample needs BOTH its legs valid — this round yields
+    // none (the spec mirrors pairValidIdx's conjunction)
+    assert(!(Bench.legIsValid(alus, 1, 139) && Bench.legIsValid(alus, 2, 139)))
+  }
+
+  test("leg validity requires a closing probe (no bracketing = no evidence)") {
+    assert(!Bench.legIsValid(Seq(140, 140), 1, 140)) // leg 1 has no probe 2
+    assert(Bench.legIsValid(Seq(140, 140), 0, 140))
+  }
+
   test("a quiet bracketed round is valid; the 25% boundary is inclusive") {
     assert(Bench.roundIsValid(Seq(150, 146, 152, 160), 140))
     assert(Bench.roundIsValid(Seq(175, 175, 175, 175), 140))  // exactly 1.25×
