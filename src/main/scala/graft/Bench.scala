@@ -382,7 +382,15 @@ object Bench {
     // first round checkpoints, the file on disk must not masquerade as
     // this run's results
     writeArtifact(head + "}")
-    val ladder = Seq(cpus, cpus / 4, cpus / 16).filter(_ >= 1).distinct
+    // NARROW-FIRST leg order: the 2→8 pair is the criterion's
+    // bandwidth-valid reading, and its 2c leg is the longest (~40 s) — in
+    // wide-first order it ran LAST, ~200 s after the round's quiet gate,
+    // exactly where this VM's bursts kept landing (run_11: both rounds
+    // lost ONLY the 2c leg, to closing probes of 216/214 ms). Running the
+    // criterion legs immediately after verified-quiet air puts the
+    // accumulated burst risk on the 32c leg instead — the cheapest and
+    // least criterion-critical.
+    val ladder = Seq(cpus / 16, cpus / 4, cpus).filter(_ >= 1).distinct
     // INTERLEAVED ladder: each rep round visits every core count
     // back-to-back (fresh local[c] context, page cache re-pinned, job
     // timed), so one efficiency SAMPLE = times from the same ~30 s ambient
@@ -423,7 +431,8 @@ object Bench {
       case (alus, i) if legIsValid(alus, legPos(c), aluMinMs) => i
     }
     val effLadderPairs: Seq[(Int, Int)] = ladder.sliding(2).collect {
-      case Seq(hi, lo) if hi == lo * 4 => (lo, hi)
+      case Seq(a, b) if a == b * 4 => (b, a)
+      case Seq(a, b) if b == a * 4 => (a, b)
     }.toSeq
     // rounds whose (lo, hi) legs are BOTH valid — the efficiency samples
     def pairValidIdx(lo: Int, hi: Int): Seq[Int] =
@@ -668,7 +677,7 @@ object Bench {
     // the narrowest N→4N pair (2→8 at cpus=32) — the bandwidth-valid
     // reading of the criterion (BENCH/BASELINE.md); efficiency = median
     // over rounds where BOTH legs of the pair are valid
-    val eff2to8 = effLadderPairs.lastOption match {
+    val eff2to8 = effLadderPairs.sortBy(_._1).headOption match {
       case Some((lo, hi)) if pairValidIdx(lo, hi).nonEmpty =>
         val idx = pairValidIdx(lo, hi)
         val ratios = idx.map(i => sweep(i)(lo) / (4.0 * sweep(i)(hi)))

@@ -566,6 +566,28 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    "d_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs with doc_id % 50 == 0 play the
+      // held-out benchmark; every train doc sharing a 4-token shingle
+      // with it is flagged with its distinct shared-shingle count. The
+      // eval shingle-hash set is benchmark-sized → broadcast; the train
+      // side is never shuffled before the per-doc aggregation
+      val docs = documents(s, d)
+      val evalDocs = docs.where(col("doc_id") % 50 === 0)
+      val trainDocs = docs.where(col("doc_id") % 50 =!= 0)
+      CorpusOps.flagOverlap(trainDocs, evalDocs, "text", "doc_id", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_top_terms" -> ((s, d) => {
+      // distinctive-term extraction: tf-idf ranking in exact integer
+      // arithmetic — (tf desc, df asc, term asc), top 3 per doc
+      CorpusOps.topTerms(documents(s, d), "text", "doc_id", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("rank").as("term_rank"))
+        .orderBy(col("doc_id"), col("term_rank"))
+    }),
+
     "d_sample_hash" -> ((s, d) => {
       // reproducible train/holdout assignment: hash the id, never rand()
       documents(s, d).select(col("doc_id"),
@@ -1109,6 +1131,39 @@ object SparkEntry {
     "d_minhash_pairs" -> minhashOracleSql,
     "d_dup_clusters" -> dupClustersOracleSql,
     "d_dedup_keep_best" -> dedupKeepBestOracleSql,
+
+    // same tokenize → 4-shingle → 60-bit md5 hash → eval-set semi machinery
+    "d_decontaminate" ->
+      s"""WITH $toksCte, sh AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 4
+         |    THEN list_distinct(list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')))
+         |    ELSE [] END AS sh
+         |  FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM sh
+         |), evh AS (
+         |  SELECT DISTINCT ${hash60Sql("s")} AS h FROM ex WHERE doc_id % 50 = 0
+         |), trh AS (
+         |  SELECT doc_id, ${hash60Sql("s")} AS h FROM ex WHERE doc_id % 50 <> 0
+         |)
+         |SELECT t.doc_id, count(DISTINCT t.h) AS n_shared
+         |FROM trh t JOIN evh e ON t.h = e.h
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "d_top_terms" ->
+      s"""WITH $toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(tk) AS term FROM toks
+         |  ) GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), ranked AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, row_number() OVER (
+         |    PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS term_rank
+         |  FROM tf JOIN dfreq USING (term)
+         |)
+         |SELECT doc_id, term, tf, df, term_rank FROM ranked WHERE term_rank <= 3
+         |ORDER BY doc_id, term_rank""".stripMargin,
 
     // DuckDB twin of Sampling.hashBucket/hashSplit: same 60-bit md5 fold
     "d_sample_hash" ->
