@@ -45,6 +45,81 @@ object SparkEntry {
   private val havSql = graft.sources.DerivedTables.haversineSql(
     "q.qlat", "q.qlng", "p.lat", "p.lng")
 
+  /** Deterministic messy-URL synthesis from (doc_id, source): the
+    * documents fixture has no URL column, so both the Spark queries and
+    * the DuckDB oracle build the SAME raw string (mixed-case scheme/host,
+    * www + deeper subdomains, default and non-default ports, trailing
+    * slash, unsorted query with a utm_ tracker, fragment) and
+    * canonicalize it independently. */
+  private def messyUrl: Column = concat(
+    when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+      .when(col("doc_id") % 3 === 1, lit("http://"))
+      .otherwise(lit("https://")),
+    when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"), lit(".Example"),
+    when(col("doc_id") % 5 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+    when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+    lit("/Docs/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&b="), (col("doc_id") % 3).cast("string"), lit("&a=1"),
+    when(col("doc_id") % 2 === 1, lit("#sec2")).otherwise(lit("")))
+
+  /** DuckDB twin of [[messyUrl]]. Interpolated into stripMargin oracle
+    * strings, so NO line may start with `|` (a leading `||` would lose
+    * its first pipe to the margin stripper) — concatenation operators sit
+    * at end-of-line. */
+  private val messyUrlSql: String =
+    """CASE doc_id % 3 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'http://' ELSE 'https://' END ||
+      |CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+      |source || '.Example' ||
+      |CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.COM' END ||
+      |CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+      |'/Docs/' || CAST(doc_id AS VARCHAR) ||
+      |CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |'?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' ||
+      |CASE WHEN doc_id % 2 = 1 THEN '#sec2' ELSE '' END""".stripMargin
+
+  /** DuckDB re-implementation of the UrlOps canonicalization recipe (CTE
+    * body over a `raw(doc_id, url)` relation) — regexes are ANCHORED so
+    * DuckDB's replace-first and Spark's replace-all semantics coincide. */
+  private val urlPartsSql: String =
+    """parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS sch,
+      |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', ''), '#.*$', '') AS nf
+      |  FROM raw
+      |), parts2 AS (
+      |  SELECT *, regexp_replace(regexp_extract(nf, '^([^/?]*)', 1), '^.*@', '') AS hp,
+      |            regexp_replace(nf, '^[^/?]*', '') AS pathq
+      |  FROM parts
+      |), parts3 AS (
+      |  SELECT *,
+      |    regexp_replace(lower(regexp_replace(hp, ':[0-9]+$', '')), '\.$', '') AS host,
+      |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_replace(pathq, '\?.*$', ''), '/+$', '') AS path,
+      |    regexp_extract(nf, '\?(.*)$', 1) AS q
+      |  FROM parts2
+      |), parts4 AS (
+      |  SELECT *,
+      |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |      p -> len(p) > 0 AND NOT (starts_with(lower(p), 'utm_')
+      |        OR starts_with(lower(p), 'fbclid') OR starts_with(lower(p), 'gclid')))), '&') AS cq,
+      |    CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80')
+      |      OR (sch = 'https' AND port = '443')) THEN ':' || port ELSE '' END AS cport,
+      |    string_split(regexp_replace(lower(regexp_replace(hp, ':[0-9]+$', '')), '\.$', ''), '.') AS hl
+      |  FROM parts3
+      |), canon AS (
+      |  SELECT doc_id,
+      |    sch || '://' || host || cport || path ||
+      |      CASE WHEN len(cq) > 0 THEN '?' || cq ELSE '' END AS url_canon,
+      |    CASE WHEN len(hl) >= 3 AND (hl[-2] || '.' || hl[-1]) IN
+      |           ('co.uk', 'org.uk', 'gov.uk', 'ac.uk', 'co.jp', 'com.au', 'com.br')
+      |         THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+      |         WHEN len(hl) >= 2 THEN hl[-2] || '.' || hl[-1]
+      |         ELSE host END AS domain
+      |  FROM parts4
+      |)""".stripMargin
+
   // ------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -404,6 +479,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_html_extract" -> ((s, d) => {
+      // input_hint closure: html:binary → extracted text (the reference
+      // pipeline's text column is DERIVED from html; byte-identical text
+      // per url is the per-row invariant). Two surfaces in one query:
+      // the full recipe (script/style drop, tag strip, entity decode with
+      // the &amp;-last ordering, whitespace collapse) over a synthesized
+      // rich document the oracle rebuilds + extracts independently, and
+      // the roundtrip invariant extract(pages.html) == pages.text as a
+      // computed column over the REAL binary html
+      val rich = concat(
+        lit("<html><head><title>T</title><style>p{c:1}</style>"),
+        lit("<script>if (1 < 2) { x(); }</script></head><body><p class=\"a\">"),
+        col("text"),
+        lit("</p><br/>&amp;lt; stays &lt;b&gt; &#39;q&#39;&nbsp;end</body></html>"))
+      pages(s, d)
+        .select(col("page_id"),
+          Html.extractText(rich).as("extracted"),
+          (Html.extractText(col("html").cast("string")) === col("text")).as("roundtrip"))
+        .orderBy(col("page_id"))
+    }),
+
+    "m_jpeg_decode" -> ((s, d) => {
+      // REAL pure-JDK JPEG codec (javax.imageio) through the same seam:
+      // grayscale fixtures whose every 8×8 DCT block is constant, encoded
+      // at quality 1.0 — DC-only blocks + unit Q100 quantization + no
+      // chroma path make the roundtrip bit-exact (JpegSpec proves it),
+      // so pixel_sum is pure (doc_id, block) arithmetic the oracle
+      // reproduces WITHOUT a codec, while the value still traverses the
+      // full Huffman/DCT pipeline
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val w = 8 * (1 + id % 3).toInt
+        val h = 8 * (1 + (id * 3) % 3).toInt
+        Multimodal.MediaRow(id, "image/jpeg",
+          Jpeg.encodeGray(w, h,
+            (x, y) => ((id * 31 + 7 * (x / 8) + 13 * (y / 8)) % 256).toInt))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixel_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s_knn" -> ((s, d) => {
       SpatialJoin.knnJoin(geoQueries(s, d), pages(s, d), k = 5, res = 7,
         qKeyCol = "q_id", tieCol = "page_id")
@@ -487,9 +605,11 @@ object SparkEntry {
     }),
 
     "d_jaccard_lowt" -> ((s, d) => {
-      // the low-threshold corner (inverted-index plan, inherent candidate
-      // blowup): kept in the catalog deliberately small — at 100 TB this
-      // shape is what banded MinHash replaces
+      // the low-threshold corner, now on its real scale path: banded
+      // MinHash candidates (r=1, b=64 — miss probability (1-J)^64 ≤
+      // 2.8e-4 at J=t) + EXACT per-pair Jaccard verify. The oracle below
+      // is the full exact join — a recall miss would fail the hash gate,
+      // so the green result certifies the banding caught every pair
       Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
         shingleLen = 3, threshold = 0.12, maxShingleFreq = 10000)
         .select(col("id_a"), col("id_b"),
@@ -588,6 +708,33 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term_rank"))
     }),
 
+    "d_repetition" -> ((s, d) => {
+      // Gopher-style repetition quality signals (Rae et al. 2021 Table A1):
+      // duplicate-line / duplicate-paragraph fractions, duplicate-line
+      // CHARACTER fraction, top-2/3/4-gram character fractions, and the
+      // symbol-to-word ratio — all exact permyriad integers. The fixture
+      // text is single-line, so "lines" are synthesized deterministically
+      // as 2-token chunks and "paragraphs" as 3-token chunks (the operator
+      // API itself takes any unit array — textLines/textParagraphs for
+      // real newline-structured corpora, spec-covered). One tokenization
+      // behind a cache barrier; everything downstream is narrow per-row
+      // compute — the 100 TB plan is a pure map, no exchange at all.
+      val base = documents(s, d).select(
+        col("doc_id"), col("text"), length(col("text")).cast("long").as("_len"),
+        Dedup.tokens(col("text")).as("_toks")).cache()
+      val lines = TextAnalysis.tokenChunks(col("_toks"), 2)
+      val paras = TextAnalysis.tokenChunks(col("_toks"), 3)
+      base.select(col("doc_id"),
+          TextAnalysis.dupUnitFracE4(lines).as("dup_line_e4"),
+          TextAnalysis.dupUnitCharFracE4(lines).as("dup_line_char_e4"),
+          TextAnalysis.dupUnitFracE4(paras).as("dup_para_e4"),
+          TextAnalysis.topNgramCharFracE4(col("_toks"), 2, col("_len")).as("top2_char_e4"),
+          TextAnalysis.topNgramCharFracE4(col("_toks"), 3, col("_len")).as("top3_char_e4"),
+          TextAnalysis.topNgramCharFracE4(col("_toks"), 4, col("_len")).as("top4_char_e4"),
+          TextAnalysis.symbolWordRatioE4(col("text"), size(col("_toks")).cast("long")).as("sym_word_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_sample_hash" -> ((s, d) => {
       // reproducible train/holdout assignment: hash the id, never rand()
       documents(s, d).select(col("doc_id"),
@@ -604,6 +751,34 @@ object SparkEntry {
       Sampling.perKeyCap(documents(s, d), "source",
           Dedup.hash60(col("doc_id").cast("string")), "doc_id", k = 10, salt = 8)
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_url_canonical" -> ((s, d) => {
+      // canonical-URL dedup key + registered domain — the fixture has no
+      // URL column, so a messy URL is synthesized deterministically from
+      // (doc_id, source) in BOTH engines and canonicalized independently
+      // (the oracle re-implements the full recipe in DuckDB SQL). Narrow
+      // builtin string expressions only: at 100 TB this is a pure map.
+      documents(s, d)
+        .withColumn("_url", messyUrl)
+        .select(col("doc_id"),
+          UrlOps.canonicalUrl(col("_url")).as("url_canon"),
+          UrlOps.registeredDomain(col("_url")).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_domain_cap" -> ((s, d) => {
+      // per-REGISTERED-DOMAIN quota — d_source_cap rekeyed through real
+      // URL machinery: every www.srcN.example.com subdomain folds into
+      // example.com (and the %5 residue into example.co.uk), so 500 docs
+      // collapse onto 2 domains — exactly the hot-domain skew the salted
+      // two-phase cap exists for
+      Sampling.perKeyCap(
+          documents(s, d).withColumn("domain", UrlOps.registeredDomain(messyUrl)),
+          "domain", Dedup.hash60(col("doc_id").cast("string")), "doc_id",
+          k = 10, salt = 8)
+        .select(col("doc_id"), col("domain"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1165,6 +1340,61 @@ object SparkEntry {
          |SELECT doc_id, term, tf, df, term_rank FROM ranked WHERE term_rank <= 3
          |ORDER BY doc_id, term_rank""".stripMargin,
 
+    // Gopher repetition signals: same tokenize → chunk → count machinery,
+    // permyriad = (10000*num) // den (floor division, exact integers)
+    "d_repetition" ->
+      s"""WITH $toksCte, base AS (
+         |  SELECT d.doc_id, d.text, len(d.text)::BIGINT AS tl, t.tk,
+         |    list_transform(range(1, CAST(ceil(len(t.tk)/2.0) AS BIGINT) + 1),
+         |      i -> array_to_string(t.tk[(i-1)*2+1:i*2], ' ')) AS lines,
+         |    list_transform(range(1, CAST(ceil(len(t.tk)/3.0) AS BIGINT) + 1),
+         |      i -> array_to_string(t.tk[(i-1)*3+1:i*3], ' ')) AS paras
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |), uf AS (
+         |  SELECT doc_id,
+         |    len(lines)::BIGINT AS nl, len(list_distinct(lines))::BIGINT AS ndl,
+         |    coalesce(list_sum(list_transform(lines, x -> len(x))), 0)::BIGINT AS lc,
+         |    coalesce(list_sum(list_transform(list_distinct(lines), x -> len(x))), 0)::BIGINT AS ldc,
+         |    len(paras)::BIGINT AS np, len(list_distinct(paras))::BIGINT AS ndp
+         |  FROM base
+         |), tops AS (
+         |  SELECT n, doc_id, c, g FROM (
+         |    SELECT n, doc_id, c, g, row_number() OVER (
+         |      PARTITION BY n, doc_id ORDER BY c DESC, g ASC) AS rn
+         |    FROM (
+         |      SELECT n, doc_id, g, count(*)::BIGINT AS c FROM (
+         |        SELECT ns.n, b.doc_id,
+         |          unnest(CASE WHEN len(b.tk) >= ns.n
+         |            THEN list_transform(range(1, len(b.tk) - ns.n + 2),
+         |                                i -> array_to_string(b.tk[i:i+ns.n-1], ' '))
+         |            ELSE [] END) AS g
+         |        FROM base b CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns
+         |      ) GROUP BY n, doc_id, g
+         |    )
+         |  ) WHERE rn = 1
+         |), sym AS (
+         |  SELECT doc_id,
+         |    (len(text) - len(replace(text, '#', '')))::BIGINT
+         |    + (len(text) - len(replace(text, '…', '')))::BIGINT
+         |    + ((len(text) - len(replace(text, '...', ''))) // 3)::BIGINT AS nsym,
+         |    len(tk)::BIGINT AS ntok
+         |  FROM base
+         |)
+         |SELECT b.doc_id,
+         |  CASE WHEN uf.nl > 0 THEN (10000 * (uf.nl - uf.ndl)) // uf.nl ELSE 0 END AS dup_line_e4,
+         |  CASE WHEN uf.lc > 0 THEN (10000 * (uf.lc - uf.ldc)) // uf.lc ELSE 0 END AS dup_line_char_e4,
+         |  CASE WHEN uf.np > 0 THEN (10000 * (uf.np - uf.ndp)) // uf.np ELSE 0 END AS dup_para_e4,
+         |  coalesce(CASE WHEN b.tl > 0 THEN (10000 * t2.c * len(t2.g)) // b.tl END, 0) AS top2_char_e4,
+         |  coalesce(CASE WHEN b.tl > 0 THEN (10000 * t3.c * len(t3.g)) // b.tl END, 0) AS top3_char_e4,
+         |  coalesce(CASE WHEN b.tl > 0 THEN (10000 * t4.c * len(t4.g)) // b.tl END, 0) AS top4_char_e4,
+         |  CASE WHEN sym.ntok > 0 THEN (10000 * sym.nsym) // sym.ntok ELSE 0 END AS sym_word_e4
+         |FROM base b
+         |JOIN uf USING (doc_id) JOIN sym USING (doc_id)
+         |LEFT JOIN (SELECT * FROM tops WHERE n = 2) t2 USING (doc_id)
+         |LEFT JOIN (SELECT * FROM tops WHERE n = 3) t3 USING (doc_id)
+         |LEFT JOIN (SELECT * FROM tops WHERE n = 4) t4 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // DuckDB twin of Sampling.hashBucket/hashSplit: same 60-bit md5 fold
     "d_sample_hash" ->
       s"""SELECT doc_id,
@@ -1183,6 +1413,28 @@ object SparkEntry {
          |  FROM documents
          |)
          |SELECT doc_id, source FROM ranked WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    // full canonicalization recipe re-implemented in DuckDB over the same
+    // synthesized messy URL
+    "d_url_canonical" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, $messyUrlSql AS url FROM documents
+         |), $urlPartsSql
+         |SELECT doc_id, url_canon, domain FROM canon ORDER BY doc_id""".stripMargin,
+
+    // registered-domain quota: the salted two-phase cap ≡ plain window
+    // (proven in SamplingSpec), so the oracle is the window over the
+    // DuckDB-computed domain
+    "d_domain_cap" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, $messyUrlSql AS url FROM documents
+         |), $urlPartsSql, ranked AS (
+         |  SELECT doc_id, domain, row_number() OVER (
+         |    PARTITION BY domain
+         |    ORDER BY ${hash60Sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+         |  FROM canon
+         |)
+         |SELECT doc_id, domain FROM ranked WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
     "d_simhash_pairs" -> simhashOracleSql,
     "s_hilbert_order" -> hilbertOracleSql,
     "e_ann_lsh" -> annOracleSql,
@@ -1206,6 +1458,44 @@ object SparkEntry {
         |SELECT doc_id, width, height,
         |       SUM((doc_id * 31 + 7 * x + 13 * y) % 256)::BIGINT AS pixel_sum
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    // independent DuckDB re-extraction of the same synthesized rich html;
+    // roundtrip is the Spark-side byte-identity invariant (a FALSE would
+    // hash-mismatch the constant-TRUE oracle column)
+    "d_html_extract" ->
+      s"""WITH pg AS (
+         |  SELECT (l_orderkey * 8 + l_linenumber)::BIGINT AS page_id,
+         |         'page body ' || CAST((l_orderkey * 8 + l_linenumber)::BIGINT AS VARCHAR)
+         |           || ' marker ' || CAST((l_orderkey * 8 + l_linenumber)::BIGINT % 97 AS VARCHAR)
+         |           || ' éè' AS text
+         |  FROM lineitem
+         |), rich AS (
+         |  SELECT page_id,
+         |    '<html><head><title>T</title><style>p{c:1}</style><script>if (1 < 2) { x(); }</script></head><body><p class="a">'
+         |      || text ||
+         |    '</p><br/>&amp;lt; stays &lt;b&gt; &#39;q&#39;&nbsp;end</body></html>' AS rh
+         |  FROM pg
+         |)
+         |SELECT page_id, ${graft.operators.Html.extractTextSql("rh")} AS extracted,
+         |       TRUE AS roundtrip
+         |FROM rich ORDER BY page_id""".stripMargin,
+
+    // every 8×8 block constant ⇒ pixel_sum = Σ_blocks 64·blockvalue —
+    // pure arithmetic (see the m_jpeg_decode comment for why the JDK
+    // codec reproduces it bit-exactly at quality 1.0)
+    "m_jpeg_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 3) AS width, 8 * (1 + (doc_id * 3) % 3) AS height
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT d.doc_id, d.width, d.height, bx.x AS bx, by.y AS by
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 3)) AS x) bx ON bx.x < d.width // 8
+        |  JOIN (SELECT unnest(range(0, 3)) AS y) by ON by.y < d.height // 8
+        |)
+        |SELECT doc_id, width, height,
+        |       SUM(64 * ((doc_id * 31 + 7 * bx + 13 * by) % 256))::BIGINT AS pixel_sum
+        |FROM blocks GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
 
     "d_fingerprint" ->
       """SELECT doc_id,

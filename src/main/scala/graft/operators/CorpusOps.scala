@@ -48,9 +48,15 @@ object CorpusOps {
     * same integers).
     *
     * Returns (idCol, term, tf, df, rank). Scale shape: tf is one
-    * map-side-combined aggregation on (doc, term); df is vocab-sized —
-    * derived from tf and broadcast back; the per-doc window partitions on
-    * the doc id. */
+    * map-side-combined aggregation on (doc, term); df is derived from tf.
+    * The df side gets NO broadcast hint on purpose: on a real web corpus
+    * the distinct-term count is unbounded (typos, URLs, hex blobs — 10^9+
+    * rows at 100 TB), and a hard `broadcast()` overrides Spark's size
+    * check and OOMs instead of degrading. Left unhinted, AQE reads the
+    * finished tf/df shuffle stats at runtime and converts the join to
+    * broadcast exactly when df is actually small — the safe version of
+    * the same optimization (proven in CorpusOpsSpec's non-broadcast
+    * path). */
   def topTerms(df: DataFrame, textCol: String, idCol: String,
                k: Int): DataFrame = {
     val tf = df
@@ -60,7 +66,7 @@ object CorpusOps {
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(broadcast(docFreq), "term")
+    tf.join(docFreq, "term")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))

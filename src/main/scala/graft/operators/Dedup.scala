@@ -239,17 +239,69 @@ object Dedup {
     *     candidate list is dimension-sized and broadcast).
     */
   /** Plan dispatch: the prefix filter prunes candidates by a factor of
-    * ~(1−t), so it wins for the dedup-typical thresholds (t ≥ ~0.4); at
-    * low thresholds the prefix is nearly the whole set and the classic
-    * inverted-index count plan is cheaper. Both are exact — proven equal
-    * in DedupSpec. */
+    * ~(1−t), so it wins for the dedup-typical thresholds (t ≥ ~0.4). At
+    * low thresholds the prefix is nearly the whole set, and the classic
+    * inverted-index plan's candidates (every pair sharing ANY shingle)
+    * blow up quadratically on common shingles — so below 0.4 the scale
+    * path is banded-MinHash candidate generation with the SAME exact
+    * per-pair Jaccard verify ([[ngramJaccardPairsMinhashVerify]]). The
+    * inverted plan remains available for corpora that need guaranteed
+    * recall 1 at low t and can afford it (equality of all three plans on
+    * common data is proven in DedupSpec). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleLen: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000): DataFrame =
     if (threshold >= 0.4)
       ngramJaccardPairsPrefix(df, textCol, idCol, shingleLen, threshold, maxShingleFreq)
     else
-      ngramJaccardPairsInverted(df, textCol, idCol, shingleLen, threshold, maxShingleFreq)
+      ngramJaccardPairsMinhashVerify(df, textCol, idCol, shingleLen, threshold)
+
+  /** Low-threshold plan: banded-MinHash candidates + EXACT Jaccard verify.
+    *
+    * Precision is exact (every candidate is re-checked against the true
+    * shingle sets — set intersection in-expression, same tail as the
+    * prefix plan). Recall is the banding curve 1 − (1 − J^r)^b evaluated
+    * at r = 1: a true pair at similarity J is missed iff none of the `b`
+    * independent min-lanes collide, probability (1 − J)^b — with the
+    * default b = 64 that is 2.8e-4 at J = 0.12 and falls geometrically
+    * above the threshold. r = 1 (every lane its own band) is the right
+    * row count for LOW thresholds: the s-curve midpoint (1/b)^(1/r) must
+    * sit BELOW t, and r ≥ 2 would push required b into the hundreds.
+    *
+    * Scale shape vs the inverted plan: a candidate needs a MINHASH LANE
+    * collision (probability ≈ b·J for small J), not merely one shared
+    * shingle (probability ≈ 1 for any pair touching a common trigram) —
+    * at web scale that is the difference between O(b·n·J̄) and O(n²)
+    * candidate rows. Each doc emits exactly `numHashes` bucket keys, so
+    * the exchange is bounded and uniform by construction. */
+  def ngramJaccardPairsMinhashVerify(df: DataFrame, textCol: String, idCol: String,
+                                     shingleLen: Int, threshold: Double,
+                                     numHashes: Int = 64): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"),
+        shingles(col(textCol), shingleLen).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .cache() // consumers: signature banding + per-pair exact verify
+    val sig = sh.select(col("_id"),
+      minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
+    // r = 1: band key = (lane index, lane value); uniform fan-out of
+    // numHashes rows per doc
+    val banded = sig.select(col("_id"),
+      explode(transform(sequence(lit(0), lit(numHashes - 1)),
+        i => struct(i.as("b"), element_at(col("_sig"), i + 1).as("h")))).as("_band"))
+    val cand = banded.select(col("_id").as("id_a"), col("_band"))
+      .join(banded.select(col("_id").as("id_b"), col("_band")), Seq("_band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // exact verify — identical arithmetic to the prefix plan's tail
+    cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_seta")), Seq("id_a"))
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_setb")), Seq("id_b"))
+      .withColumn("_i", size(array_intersect(col("_seta"), col("_setb"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        (col("_i") / (size(col("_seta")) + size(col("_setb")) - col("_i"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 
   /** Classic inverted-index plan: self-join on shingle → per-pair overlap
     * count (map-side partial) → size join → J filter. Candidates = every

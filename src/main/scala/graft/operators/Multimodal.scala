@@ -45,9 +45,11 @@ object Multimodal {
   /** Batched decode: one decoder instance per partition, streaming over
     * the rows (the mapPartitions seam — no per-row setup, no driver
     * round-trip). Dispatch on `kind`: `image/png` payloads go through the
-    * REAL codec ([[Png.decode]] — chunk walk, zlib inflate, all five
-    * scanline filters); other kinds use the deterministic stub (no
-    * audio/video libraries in this container). `pixel_sum` and the stripe
+    * REAL from-scratch codec ([[Png.decode]] — chunk walk, zlib inflate,
+    * all five scanline filters); `image/jpeg` through the REAL pure-JDK
+    * codec ([[Jpeg.decode]] via javax.imageio); other kinds use the
+    * deterministic stub (no audio/video libraries in this container).
+    * `pixel_sum` and the stripe
     * features come from the reconstructed pixels for PNG, from the
     * payload bytes for the stub. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -57,6 +59,10 @@ object Multimodal {
       rows.map { r =>
         if (r.kind == "image/png") {
           val dec = Png.decode(r.payload)
+          val (sum, f) = byteStats(dec.pixels)
+          MediaFeatures(r.id, r.kind, r.payload.length, dec.width, dec.height, sum, f)
+        } else if (r.kind == "image/jpeg") {
+          val dec = Jpeg.decode(r.payload)
           val (sum, f) = byteStats(dec.pixels)
           MediaFeatures(r.id, r.kind, r.payload.length, dec.width, dec.height, sum, f)
         } else {

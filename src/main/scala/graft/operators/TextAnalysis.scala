@@ -90,6 +90,107 @@ object TextAnalysis {
     when(best("hits") > 0, best("lang")).otherwise(lit("und"))
   }
 
+  // ------------------------------------------------------------------
+  // Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+  // Models: ...Gopher", Table A1 — public methodology). All are narrow
+  // per-document expressions: single pass over the document's own
+  // lines/tokens, no shuffle, exact integer outputs (permyriad via floor
+  // division) so the DuckDB oracle reproduces them bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** Non-empty lines of a document (the unit for duplicate-line signals). */
+  def textLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+
+  /** Non-empty paragraphs: blank-line-separated blocks. */
+  def textParagraphs(text: Column): Column =
+    filter(split(text, "\n{2,}"), p => length(p) > 0)
+
+  /** Non-overlapping `width`-token chunks of a token array, joined with
+    * single spaces — a deterministic synthetic "line" structure for
+    * corpora whose text carries no newlines (the documents fixture). */
+  def tokenChunks(toks: Column, width: Int): Column =
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(1), ((size(toks) + lit(width - 1)) / lit(width)).cast("int")),
+        i => concat_ws(" ", slice(toks, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Overlapping n-token word n-grams WITH multiplicity — repetition
+    * signals measure duplicates, so this deliberately does NOT dedupe
+    * (unlike [[Dedup.shingles]], whose set semantics feed Jaccard). */
+  def ngramsAll(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** ⌊10000·num/den⌋ as a long, 0 when den = 0 — the exact-integer
+    * permyriad encoding shared with the DuckDB oracle (`(10000*num)//den`).
+    * The subtraction-of-remainder form keeps the final `/` exact (the
+    * numerator is divisible by den, quotient ≤ 10000·n — double-safe). */
+  def permyriad(num: Column, den: Column): Column =
+    when(den > 0,
+      ((lit(10000L) * num - pmod(lit(10000L) * num, den)) / den).cast("long"))
+      .otherwise(lit(0L))
+
+  /** Fraction of unit occurrences that are repeats beyond the first
+    * (1 − distinct/total), permyriad. Gopher's "duplicate line fraction" /
+    * "duplicate paragraph fraction" with `units` = lines / paragraphs. */
+  def dupUnitFracE4(units: Column): Column =
+    permyriad(size(units) - size(array_distinct(units)), size(units))
+
+  /** Fraction of CHARACTERS sitting in repeat occurrences of a duplicated
+    * unit (chars of all occurrences minus chars of the distinct set, over
+    * total unit chars), permyriad — Gopher's "duplicate line character
+    * fraction". */
+  def dupUnitCharFracE4(units: Column): Column = {
+    def chars(arr: Column) =
+      aggregate(arr, lit(0L), (acc, u) => acc + length(u).cast("long"))
+    permyriad(chars(units) - chars(array_distinct(units)), chars(units))
+  }
+
+  /** (count, value) of the most frequent element, ties → lexicographically
+    * smallest. Single O(n log n) pass: sort, then one run-length aggregate
+    * with a scalar struct state — no per-distinct-value rescan (the naive
+    * count-per-element form is O(n²) per doc, fatal on book-sized docs). */
+  def topRunStats(arr: Column): Column = {
+    val stepped = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("bestv")),
+      (acc, x) => {
+        // ascending order ⇒ strict > keeps the FIRST (lex-smallest) max
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > acc("best"), run).otherwise(acc("best")).as("best"),
+          when(run > acc("best"), x).otherwise(acc("bestv")).as("bestv"))
+      })
+    struct(stepped("best").as("cnt"), stepped("bestv").as("value"))
+  }
+
+  /** Gopher's "fraction of characters contained within the most
+    * frequently-occurring n-gram": top-ngram occurrences × its character
+    * length (single-space-joined), over the document's total characters,
+    * permyriad. Overlapping occurrences may over-count past 10000 by
+    * design — it is a repetition signal, not a partition. */
+  def topNgramCharFracE4(toks: Column, n: Int, textLen: Column): Column = {
+    val top = topRunStats(ngramsAll(toks, n))
+    permyriad(top("cnt") * length(top("value")).cast("long"), textLen)
+  }
+
+  /** Gopher symbol-to-word ratio: occurrences of '#', '…' and '...' per
+    * word token, permyriad. The '…' is counted before '...' never
+    * double-counts because the counts are independent substring counts of
+    * DIFFERENT patterns ('...' count uses the text with '…' intact). */
+  def symbolWordRatioE4(text: Column, nTokens: Column): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipsisChar = length(text) - length(regexp_replace(text, "…", ""))
+    val threeDots =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
+    permyriad((hashes + ellipsisChar + threeDots).cast("long"), nTokens)
+  }
+
   /** 64-bit document fingerprint: polynomial rolling hash over the token
     * sequence (order-sensitive, whitespace-normalization-insensitive —
     * the "document fingerprinting" primitive). */

@@ -78,6 +78,106 @@ object StreamOps {
         max(col(lngCol)).as("xmax"),
         max(col(latCol)).as("ymax"))
 
+  // ---- streaming near-dup twin (round 5) -------------------------------
+
+  case class BandDoc(band: Int, bandHash: String, doc_id: Long, sig: Array[Long])
+  case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+  /** Per-bucket state as parallel arrays (product-encoder friendly). */
+  case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
+
+  /** Incremental MinHash-LSH near-dup detection under continuous ingest —
+    * the streaming twin of [[graft.operators.Dedup.minhashLshPairs]].
+    *
+    * Plan shape: the narrow signature + banding stages are the IDENTICAL
+    * expressions as batch (single-pass aggregate signature, `bands`
+    * bucket keys per doc); the self-join becomes a STATEFUL band-bucket
+    * operator (`flatMapGroupsWithState` keyed on (band, bandHash)): each
+    * bucket's state holds the (id, signature) of docs seen there, a new
+    * arrival emits a verified pair against every co-bucketed predecessor
+    * (est-jaccard = full-signature lane agreement, the batch verify) and
+    * joins the state. So pairs stream out AS THE DUPLICATE ARRIVES — no
+    * re-scan of the corpus, the per-event cost is bounded by bucket
+    * occupancy.
+    *
+    * Scale contract (the same trade [[dedupStream]] makes): bucket state
+    * is expired after `ttlMs` idle (processing-time timeout) — a near-dup
+    * arriving farther apart than the TTL is passed through rather than
+    * paired, because exact-forever means unbounded state at 10^12 docs.
+    * Over a finite stream with no timeout firing, the emitted pair set
+    * CONVERGES to the batch `minhashLshPairs` result exactly
+    * (StreamingCheckpointSpec) — a pair sharing k bands is emitted k
+    * times (once per bucket); downstream dedup is
+    * `dropDuplicatesWithinWatermark` in production or a plain distinct on
+    * a bounded window.
+    *
+    * Skew note: a degenerate band value (e.g. boilerplate-heavy shingles)
+    * concentrates docs in one bucket and pair emission is quadratic in
+    * its occupancy — identical blowup to the batch LSH join on the same
+    * data; the TTL is also the pressure valve for that case. */
+  def nearDupPairsStream(docs: DataFrame, textCol: String, idCol: String,
+                         shingleLen: Int = 2, numHashes: Int = 32,
+                         bands: Int = 16, threshold: Double = 0.1,
+                         ttlMs: Long = 3600L * 1000L): Dataset[NearDupPair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.shingles(col(textCol), shingleLen).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .select(col("doc_id"),
+        Dedup.minhashSignatureFromShingles(col("_sh"), numHashes).as("sig"))
+    val banded = sig
+      .withColumn("_band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("b"),
+            concat_ws(",", transform(
+              slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))).as("h")))))
+      .select(col("_band.b").as("band"), col("_band.h").as("bandHash"),
+        col("doc_id"), col("sig"))
+      .as[BandDoc]
+    banded
+      .groupByKey(r => (r.band, r.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        bucketPairs(numHashes, threshold, ttlMs))
+  }
+
+  /** Pure per-bucket transition (unit-testable without a stream): emit
+    * verified pairs of each new arrival vs the bucket's resident docs
+    * (and earlier same-trigger arrivals), then absorb the arrivals.
+    * Arrivals are folded in doc_id order so emission is deterministic.
+    * On timeout the bucket state is dropped (TTL contract above). */
+  def bucketPairs(numHashes: Int, threshold: Double, ttlMs: Long)(
+      key: (Int, String), rows: Iterator[BandDoc],
+      state: GroupState[BucketState]): Iterator[NearDupPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var ids = state.getOption.map(_.ids).getOrElse(Array.emptyLongArray)
+    var sigs = state.getOption.map(_.sigs).getOrElse(Array.empty[Array[Long]])
+    val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (!ids.contains(r.doc_id)) {
+        var i = 0
+        while (i < ids.length) {
+          var eq = 0
+          var k = 0
+          while (k < numHashes) { if (sigs(i)(k) == r.sig(k)) eq += 1; k += 1 }
+          val est = eq.toDouble / numHashes
+          if (est >= threshold)
+            out += (if (ids(i) < r.doc_id) NearDupPair(ids(i), r.doc_id, est)
+                    else NearDupPair(r.doc_id, ids(i), est))
+          i += 1
+        }
+        ids = ids :+ r.doc_id
+        sigs = sigs :+ r.sig
+      }
+    }
+    state.update(BucketState(ids, sigs))
+    try state.setTimeoutDuration(ttlMs) catch { case _: UnsupportedOperationException => }
+    out.iterator
+  }
+
   case class Event(event_id: Long, user_id: Long, ts_us: Long, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, cents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, value_cents: Long)

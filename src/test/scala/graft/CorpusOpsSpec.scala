@@ -56,4 +56,34 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got((3L, 1)) == ("date", 1L, 1L))    // tf tie: rarer term first
     assert(got((3L, 2)) == ("cherry", 1L, 3L))
   }
+
+  test("topTerms carries no broadcast hint and survives the non-broadcast path") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry"),
+      (3L, "cherry date")
+    ).toDF("doc_id", "text")
+    val plan = CorpusOps.topTerms(docs, "text", "doc_id", k = 2)
+    // the df table is unbounded-cardinality at corpus scale: a hard
+    // broadcast() hint would override Spark's size check and OOM — the
+    // plan must leave the join strategy to the optimizer/AQE
+    def hasHint(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => u
+      }.isDefined
+    assert(!hasHint(plan.queryExecution.logical),
+      "topTerms must not hard-broadcast the unbounded df table")
+    val expected = plan.collect().map(_.toSeq).toSet
+    // force the non-broadcast join path and prove results are identical
+    val th = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val got = CorpusOps.topTerms(docs, "text", "doc_id", k = 2)
+      val exec = got.queryExecution.executedPlan
+      assert(!exec.toString.contains("BroadcastHashJoin"),
+        "threshold -1 must actually exercise the non-broadcast path")
+      assert(got.collect().map(_.toSeq).toSet == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", th)
+  }
 }

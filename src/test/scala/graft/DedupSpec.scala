@@ -69,6 +69,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("minhash-verify low-t plan: exact precision, banding recall vs inverted plan") {
+    // the low-threshold dispatch target: candidates from r=1/b=64 banded
+    // MinHash, verify exact. Precision is exact by construction; recall on
+    // this corpus must be total (miss probability (1-J)^64 ≤ 2.8e-4 per
+    // pair at J=t — for the planted pairs well above t it is ~0)
+    for (t <- Seq(0.12, 0.25)) {
+      val a = Dedup.ngramJaccardPairsMinhashVerify(docs, "text", "doc_id", 3, t)
+        .select($"id_a", $"id_b", round($"jaccard" * 10000).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      val b = Dedup.ngramJaccardPairsInverted(docs, "text", "doc_id", 3, t, 100000)
+        .select($"id_a", $"id_b", round($"jaccard" * 10000).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(a == b, s"minhash-verify and inverted plans disagree at t=$t")
+      assert(a.nonEmpty)
+    }
+    // dispatch: below 0.4 ngramJaccardPairs routes to the minhash-verify plan
+    val routed = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.12, 100000)
+    assert(routed.queryExecution.logical.toString.contains("array_intersect"))
+  }
+
   test("minhashLshPairs recalls high-similarity pairs (est-jaccard agreement)") {
     val got = Dedup.minhashLshPairs(docs, "text", "doc_id",
       shingleLen = 3, numHashes = 64, bands = 32, threshold = 0.4)

@@ -118,6 +118,87 @@ class StreamingCheckpointSpec extends SparkTestBase {
     assert(exp.size > 10)
   }
 
+  test("streaming minhash-LSH near-dup pairs converge to the batch result (incremental)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.NearDupPair
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toSeq
+    assert(docs.size >= 40)
+    // two micro-batches: pairs whose members arrive in DIFFERENT triggers
+    // must still be found (that is the stateful part)
+    val (first, second) = docs.splitAt(docs.size / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // Trigger.AvailableNow + a file sink, restarted per half over ONE
+    // checkpoint: the default trigger would spin empty batches forever
+    // evaluating processing-time timeouts, and the restart proves the
+    // band-bucket STATE survives checkpoint recovery (pairs spanning the
+    // two runs are only findable from recovered state)
+    val base = Paths.get(s"/root/repo/target/neardup_${System.nanoTime()}")
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    def runOnce(): Unit = {
+      val q = StreamOps.nearDupPairsStream(stream, "text", "doc_id",
+          shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1)
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000); q.stop()
+    }
+    mem.addData(first: _*); runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    mem.addData(second: _*); runOnce()
+    // cross-band duplicates collapse on distinct; est is band-independent
+    val got = spark.read.parquet(out).as[NearDupPair]
+      .collect().map(p => (p.id_a, p.id_b, math.round(p.est_jaccard * 10000))).toSet
+    val exp = Dedup.minhashLshPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
+        shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1)
+      .select($"id_a", $"id_b", round($"est_jaccard" * 10000).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+    // incrementality: the resumed run added the cross-half pairs from
+    // recovered state, not a recompute artifact
+    assert(afterFirst < spark.read.parquet(out).count())
+  }
+
+  test("bucketPairs state transition: cross-trigger pairing, dedup, verify threshold") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{BandDoc, BucketState}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def freshState(prev: Option[BucketState], timedOut: Boolean) =
+      TestGroupState.create[BucketState](
+        optionalState = prev.map(org.apache.spark.api.java.Optional.of[BucketState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[BucketState]()),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = 10000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = timedOut)
+    val sigA = Array.fill(4)(7L)
+    val sigB = Array(7L, 7L, 7L, 9L)   // 3/4 agreement
+    val sigC = Array(1L, 2L, 3L, 4L)   // 0/4 vs A
+    def bd(id: Long, sig: Array[Long]) = BandDoc(0, "k", id, sig)
+    // trigger 1: A alone — no pairs, state armed with a TTL
+    val st1 = freshState(None, timedOut = false)
+    val out1 = StreamOps.bucketPairs(4, 0.5, 1000L)((0, "k"),
+      Iterator(bd(10, sigA)), st1).toSeq
+    assert(out1.isEmpty && st1.get.ids.toSeq == Seq(10L))
+    assert(st1.getTimeoutTimestampMs.isPresent, "bucket TTL must be armed")
+    // trigger 2: B pairs with resident A (0.75 ≥ 0.5); C verifies below
+    // threshold vs everyone; duplicate re-delivery of A is absorbed
+    val st2 = freshState(Some(st1.get), timedOut = false)
+    val out2 = StreamOps.bucketPairs(4, 0.5, 1000L)((0, "k"),
+      Iterator(bd(30, sigC), bd(20, sigB), bd(10, sigA)), st2).toSeq
+    assert(out2.map(p => (p.id_a, p.id_b, p.est_jaccard)) == Seq((10L, 20L, 0.75)))
+    assert(st2.get.ids.sorted.toSeq == Seq(10L, 20L, 30L))
+    // timeout: the bucket's state is dropped (TTL scale contract)
+    val st3 = freshState(Some(st2.get), timedOut = true)
+    assert(StreamOps.bucketPairs(4, 0.5, 1000L)((0, "k"), Iterator.empty, st3).isEmpty)
+    assert(st3.isRemoved, "idle bucket state must be released")
+  }
+
   test("streaming exact dedup (dropDuplicatesWithinWatermark) == batch dedup survivors") {
     import graft.streaming.StreamOps
     // documents table with planted duplicates: stream it and dedup by text
