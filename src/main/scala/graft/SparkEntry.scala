@@ -522,6 +522,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m_resize" -> ((s, d) => {
+      // REAL image resize (round 5 — the resize seam is no longer a stub
+      // for image kinds): the m_jpeg_decode fixtures go decode → exact
+      // box-average downscale ×2 → raw raster. Every 8×8 constant block
+      // averages to itself, so the resized pixel_sum is pure arithmetic
+      // (16·blockvalue per block) the oracle reproduces codec-free while
+      // the Spark side runs the full decode+resize path
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val w = 8 * (1 + id % 3).toInt
+        val h = 8 * (1 + (id * 3) % 3).toInt
+        Multimodal.MediaRow(id, "image/jpeg",
+          Jpeg.encodeGray(w, h,
+            (x, y) => ((id * 31 + 7 * (x / 8) + 13 * (y / 8)) % 256).toInt))
+      }
+      Multimodal.resizeImages(media, factor = 2)
+        .map(r => (r.id, r.width.toLong, r.height.toLong,
+          r.payload.map(b => (b & 0xff).toLong).sum))
+        .toDF("doc_id", "width", "height", "pixel_sum")
+        .orderBy(col("doc_id"))
+    }),
+
     "s_knn" -> ((s, d) => {
       SpatialJoin.knnJoin(geoQueries(s, d), pages(s, d), k = 5, res = 7,
         qKeyCol = "q_id", tieCol = "page_id")
@@ -1496,6 +1518,22 @@ object SparkEntry {
         |SELECT doc_id, width, height,
         |       SUM(64 * ((doc_id * 31 + 7 * bx + 13 * by) % 256))::BIGINT AS pixel_sum
         |FROM blocks GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    // decode → ×2 box-average: each 8×8 constant block becomes a 4×4
+    // constant region, so pixel_sum = Σ_blocks 16·blockvalue
+    "m_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id * 3) % 3) AS h
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT d.doc_id, d.w, d.h, bx.x AS bx, by.y AS by
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 3)) AS x) bx ON bx.x < d.w // 8
+        |  JOIN (SELECT unnest(range(0, 3)) AS y) by ON by.y < d.h // 8
+        |)
+        |SELECT doc_id, (w // 2)::BIGINT AS width, (h // 2)::BIGINT AS height,
+        |       SUM(16 * ((doc_id * 31 + 7 * bx + 13 * by) % 256))::BIGINT AS pixel_sum
+        |FROM blocks GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "d_fingerprint" ->
       """SELECT doc_id,

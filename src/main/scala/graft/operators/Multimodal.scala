@@ -94,10 +94,78 @@ object Multimodal {
                           payload: Array[Byte])
   case class Frame(id: Long, frame_no: Int, offset: Int, payload: Array[Byte])
 
-  /** STUB resize: deterministic byte-domain downscale to a target "pixel"
-    * budget (stride sampling). Real deployment swaps the body for a codec
-    * resize; the Spark shape (typed mapPartitions, bounded output size)
-    * is the real part. */
+  /** Exact box-average downscale of a row-major 8-bit raster by an
+    * integer `factor`: output pixel = ⌊Σ(f×f block) / f²⌋, trailing
+    * rows/cols beyond the last full block dropped. Pure integer
+    * arithmetic — bit-reproducible, so resized stats stay oracle-able
+    * (a constant block averages to itself exactly). */
+  def boxDownscale(px: Array[Byte], w: Int, h: Int, factor: Int): (Int, Int, Array[Byte]) = {
+    require(factor >= 1, "factor must be >= 1")
+    val (ow, oh) = (w / factor, h / factor)
+    val out = new Array[Byte](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var sum = 0
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          val base = (oy * factor + dy) * w + ox * factor
+          while (dx < factor) { sum += px(base + dx) & 0xff; dx += 1 }
+          dy += 1
+        }
+        out(oy * ow + ox) = (sum / (factor * factor)).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** Image resize through the REAL codecs (round 5 — no longer a stub for
+    * image kinds): `image/png` / `image/jpeg` payloads are decoded
+    * ([[Png.decode]] / [[Jpeg.decode]]), box-averaged down by the integer
+    * `factor`, and returned as raw 8-bit grayscale rasters. Other kinds
+    * keep the deterministic byte-domain stub (no audio/video codecs in
+    * this container). Same Spark shape either way: typed mapPartitions,
+    * one decoder per partition, bounded output size. */
+  def resizeImages(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        r.kind match {
+          case "image/png" =>
+            val d = Png.decode(r.payload)
+            // multi-channel PNG rasters: average channels to luma first?
+            // No — Png.decode returns per-channel bytes; gray inputs (the
+            // fixture path) are 1 byte/px. Non-gray payloads take the
+            // byte-domain path to stay shape-safe.
+            if (d.pixels.length == d.width * d.height) {
+              val (ow, oh, out) = boxDownscale(d.pixels, d.width, d.height, factor)
+              ResizedMedia(r.id, r.kind, ow, oh, out)
+            } else stubResize(r, factor)
+          case "image/jpeg" =>
+            val d = Jpeg.decode(r.payload)
+            val (ow, oh, out) = boxDownscale(d.pixels, d.width, d.height, factor)
+            ResizedMedia(r.id, r.kind, ow, oh, out)
+          case _ => stubResize(r, factor)
+        }
+      }
+    }
+  }
+
+  /** STUB resize for non-image kinds: deterministic byte-domain stride
+    * sample (real deployment swaps this for an AV codec; the Spark shape
+    * is the real part). */
+  private def stubResize(r: MediaRow, factor: Int): ResizedMedia = {
+    val stride = math.max(1, factor)
+    val out = r.payload.indices.by(stride).map(r.payload).toArray
+    val (w, h, _) = stubDecode(out)
+    ResizedMedia(r.id, r.kind, w, h, out)
+  }
+
+  /** Back-compat byte-budget form (pre-round-5 signature, non-image path). */
   def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

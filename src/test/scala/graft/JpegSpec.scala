@@ -48,4 +48,33 @@ class JpegSpec extends SparkTestBase {
   test("garbage payload fails loudly, not silently") {
     intercept[Exception] { Jpeg.decode(Array[Byte](1, 2, 3, 4)) }
   }
+
+  test("boxDownscale: exact integer box average, floor semantics, ragged drop") {
+    // 4×2 raster, factor 2: [10 10 | 0 1] / [10 10 | 2 3] → [10, floor(6/4)=1]
+    val px = Array[Byte](10, 10, 0, 1, 10, 10, 2, 3)
+    val (w, h, out) = Multimodal.boxDownscale(px, 4, 2, 2)
+    assert(w == 2 && h == 1 && out.map(_ & 0xff).toSeq == Seq(10, 1))
+    // ragged tail dropped: 5×3 at factor 2 → 2×1
+    val (w2, h2, out2) = Multimodal.boxDownscale(Array.fill(15)(200.toByte), 5, 3, 2)
+    assert(w2 == 2 && h2 == 1 && out2.map(_ & 0xff).forall(_ == 200))
+    // factor 1 = identity
+    val (w3, h3, out3) = Multimodal.boxDownscale(px, 4, 2, 1)
+    assert(w3 == 4 && h3 == 2 && out3.toSeq == px.toSeq)
+  }
+
+  test("resizeImages runs the REAL codecs for both image kinds") {
+    val jpeg = Multimodal.MediaRow(1L, "image/jpeg",
+      Jpeg.encodeGray(16, 8, (x, _) => if (x < 8) 40 else 80))
+    val png = Multimodal.MediaRow(2L, "image/png",
+      graft.operators.Png.encodeGray(16, 8, (x, _) => if (x < 8) 40 else 80))
+    val got = Multimodal.resizeImages(
+        spark.createDataset(Seq(jpeg, png))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]), 2)
+      .collect().sortBy(_.id)
+    got.foreach { r =>
+      assert(r.width == 8 && r.height == 4)
+      // constant 8×8 blocks average to themselves: 4×4 of 40 + 4×4 of 80
+      assert(r.payload.map(_ & 0xff).sum == 16 * 40 + 16 * 80, r.kind)
+    }
+  }
 }
