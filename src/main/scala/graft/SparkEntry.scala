@@ -544,6 +544,162 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m_wav_decode" -> ((s, d) => {
+      // REAL audio codec (from-scratch RIFF/PCM walk, operators/Wav)
+      // through the same seam: 16-bit PCM is LOSSLESS, so any synthesized
+      // sample sequence roundtrips bit-exactly and the oracle is pure
+      // (doc_id, i) arithmetic — sample i = ((id*31 + i*7) % 65536) −
+      // 32768, folded back to unsigned for the sum
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val channels = (1 + id % 2).toInt
+        val frames = (8 + id % 9).toInt
+        val samples = Array.tabulate[Short](frames * channels)(i =>
+          (((id * 31 + i * 7) % 65536) - 32768).toShort)
+        Multimodal.MediaRow(id, "audio/wav", Wav.encodePcm16(8000, channels, samples))
+      }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("id").as("doc_id"), col("width").cast("long").as("n_frames"),
+          col("height").cast("long").as("channels"), col("pixel_sum").as("sample_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "m_frame_sample" -> ((s, d) => {
+      // REAL frame sampling (round 5): concatenated-PNG stream split
+      // STRUCTURALLY (Png.frameEnd chunk walk), every 2nd frame decoded
+      // through the real codec; frame f of doc id is (4+(id+f)%5) ×
+      // (4+(id*3+f)%5) with pixel (x,y) = (id*31 + f*17 + 7x + 13y) % 256
+      // — the oracle reproduces the sampled frames' sums codec-free
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = (1 + id % 4).toInt
+        val bytes = (0 until n).map { f =>
+          val w = (4 + (id + f) % 5).toInt
+          val h = (4 + (id * 3 + f) % 5).toInt
+          Png.encodeGray(w, h, (x, y) => ((id * 31 + f * 17 + 7 * x + 13 * y) % 256).toInt)
+        }.reduce(_ ++ _)
+        Multimodal.MediaRow(id, "video/png-stream", bytes)
+      }
+      Multimodal.sampleFramesPng(media, every = 2).toDF()
+        .select(col("id").as("doc_id"), col("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixel_sum"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    "d_pii_redact" -> ((s, d) => {
+      // PII redaction with sequential count-then-replace semantics
+      // (emails → IPs → phones, each counted on the previous step's
+      // output); deterministic PII is injected into the fixture text so
+      // every pattern fires, and the oracle replays the identical
+      // RE2-subset regex chain. Narrow per-row compute — a pure map at
+      // 100 TB, nothing to shuffle.
+      val withPii = documents(s, d).withColumn("_t", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or call 555-123-4567 ext "), (col("doc_id") % 10).cast("string"),
+        lit(".")))
+      withPii.select(col("doc_id"), Curation.redactPii(col("_t")).as("_p"))
+        .select(col("doc_id"), col("_p.redacted").as("redacted"),
+          col("_p.n_email").cast("long").as("n_email"),
+          col("_p.n_ip").cast("long").as("n_ip"),
+          col("_p.n_phone").cast("long").as("n_phone"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_c4_filter" -> ((s, d) => {
+      // C4-style line filtering + document drops (Raffel et al. 2020
+      // §2.2): line structure is synthesized deterministically (3-token
+      // chunks, terminator cycling '.', '', '!') because the fixture text
+      // is single-line, and docs id%37==0 / id%41==0 get a brace / lorem
+      // line appended so both document-drop rules fire. Same recipe in
+      // the oracle; narrow per-row compute throughout.
+      val toks = Dedup.tokens(col("text"))
+      val n = ((size(toks) + lit(2)) / lit(3)).cast("int")
+      val lines = transform(sequence(lit(1), n), i => concat(
+        concat_ws(" ", slice(toks, (i - lit(1)) * lit(3) + lit(1), lit(3))),
+        when(pmod(i - lit(1), lit(3)) === 0, lit("."))
+          .when(pmod(i - lit(1), lit(3)) === 1, lit(""))
+          .otherwise(lit("!"))))
+      val base = when(size(toks) > 0, array_join(lines, "\n")).otherwise(lit(""))
+      val txt = when(col("doc_id") % 37 === 0, concat(base, lit("\ncode { x }")))
+        .when(col("doc_id") % 41 === 0, concat(base, lit("\nLorem Ipsum dolor sit amet.")))
+        .otherwise(base)
+      documents(s, d)
+        .select(col("doc_id"), Curation.c4Clean(txt, minWords = 3, minSentences = 2).as("_c"))
+        .select(col("doc_id"), col("_c.clean_text").as("clean_text"),
+          col("_c.n_kept").cast("long").as("n_kept"),
+          col("_c.n_total").cast("long").as("n_total"),
+          col("_c.keep_doc").as("keep_doc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_para_dedup" -> ((s, d) => {
+      // corpus-wide paragraph-level exact dedup (RefinedWeb/MassiveText
+      // repeat-paragraph removal): keep the globally FIRST occurrence of
+      // every unit (8-token chunks here — the synthetic paragraph for the
+      // newline-free fixture), reassemble documents from their surviving
+      // units. One shuffle on the unit md5; survivor pick is a
+      // map-side-combining min aggregate, never a window.
+      Dedup.paraDedup(documents(s, d), "text", "doc_id",
+          t => TextAnalysis.tokenChunks(Dedup.tokens(t), 8))
+        .select(col("doc_id"), col("clean_text"), col("n_kept"), col("n_total"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_gopher_quality" -> ((s, d) => {
+      // the remaining Gopher Table A1 document rules beyond d_repetition:
+      // mean word length (×100), alpha-word fraction, bullet-/ellipsis-
+      // line fractions (permyriad), and the composite keep flag. Line
+      // structure synthesized (4-token chunks; '• ' prefix when
+      // (doc_id+i)%7==0, '...' suffix when (doc_id+i)%11==0) because the
+      // fixture text is single-line; all exact integers, pure per-row map.
+      val base = documents(s, d).select(col("doc_id"),
+        Dedup.tokens(col("text")).as("_toks")).cache()
+      val n = ((size(col("_toks")) + lit(3)) / lit(4)).cast("int")
+      val lines = when(size(col("_toks")) > 0,
+        transform(sequence(lit(1), n), i => concat(
+          when(pmod(col("doc_id") + i - 1, lit(7)) === 0, lit("• ")).otherwise(lit("")),
+          concat_ws(" ", slice(col("_toks"), (i - lit(1)) * lit(4) + lit(1), lit(4))),
+          when(pmod(col("doc_id") + i - 1, lit(11)) === 0, lit("...")).otherwise(lit("")))))
+        .otherwise(array().cast("array<string>"))
+      base.select(col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          TextAnalysis.meanWordLenE2(col("_toks")).as("mean_word_len_e2"),
+          TextAnalysis.alphaWordFracE4(col("_toks")).as("alpha_word_e4"),
+          TextAnalysis.bulletLineFracE4(lines).as("bullet_line_e4"),
+          TextAnalysis.ellipsisLineFracE4(lines).as("ellipsis_line_e4"))
+        .withColumn("gopher_keep",
+          col("n_tokens").between(5, 100000) &&
+            col("mean_word_len_e2").between(150, 1000) &&
+            col("alpha_word_e4") >= 5000 &&
+            col("bullet_line_e4") <= 9000 && col("ellipsis_line_e4") <= 3000)
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_curate_e2e" -> ((s, d) => {
+      // the curation pipeline COMPOSED end-to-end in one plan: quality
+      // gate (≥ 5 tokens) → corpus-wide paragraph dedup over the
+      // survivors (so dedup outcomes depend on the gate) → drop
+      // fully-boilerplate docs → per-registered-domain cap (the 500→2
+      // domain fold makes it the hot-domain skew case) → deterministic
+      // split assignment. Every stage is an already-oracled operator;
+      // this query gates that they compose.
+      val docs = documents(s, d)
+        .withColumn("domain", UrlOps.registeredDomain(messyUrl))
+      val kept = docs.where(size(Dedup.tokens(col("text"))) >= 5)
+      val deduped = Dedup.paraDedup(kept, "text", "doc_id",
+          t => TextAnalysis.tokenChunks(Dedup.tokens(t), 8))
+        .where(col("n_kept") > 0)
+      val capped = Sampling.perKeyCap(
+        deduped.join(docs.select(col("doc_id"), col("domain")), "doc_id"),
+        "domain", Dedup.hash60(col("doc_id").cast("string")), "doc_id",
+        k = 50, salt = 8)
+      capped.select(col("doc_id"), col("domain"), col("n_kept"),
+          Sampling.hashSplit(col("doc_id"), 1000, 50).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s_knn" -> ((s, d) => {
       SpatialJoin.knnJoin(geoQueries(s, d), pages(s, d), k = 5, res = 7,
         qKeyCol = "q_id", tieCol = "page_id")
@@ -1534,6 +1690,202 @@ object SparkEntry {
         |SELECT doc_id, (w // 2)::BIGINT AS width, (h // 2)::BIGINT AS height,
         |       SUM(16 * ((doc_id * 31 + 7 * bx + 13 * by) % 256))::BIGINT AS pixel_sum
         |FROM blocks GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // PCM16 is lossless ⇒ the decoded unsigned sample sum is pure
+    // (doc_id, i) arithmetic: sample i of doc id = (id*31 + i*7) % 65536
+    // unsigned (the codec sees it biased to signed, the sum folds back)
+    "m_wav_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS channels, 8 + doc_id % 9 AS frames
+        |  FROM documents
+        |), samples AS (
+        |  SELECT d.doc_id, d.channels, d.frames, i.i
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 32)) AS i) i ON i.i < d.frames * d.channels
+        |)
+        |SELECT doc_id, frames::BIGINT AS n_frames, channels::BIGINT AS channels,
+        |       SUM((doc_id * 31 + i * 7) % 65536)::BIGINT AS sample_sum
+        |FROM samples GROUP BY doc_id, frames, channels ORDER BY doc_id""".stripMargin,
+
+    // the sampled (even-numbered) frames' dims and pixel sums are pure
+    // (doc_id, frame, x, y) arithmetic — the Spark side must reproduce
+    // them THROUGH the container split + real PNG decode
+    "m_frame_sample" ->
+      """WITH frames AS (
+        |  SELECT d.doc_id, f.f AS frame_no,
+        |         4 + (d.doc_id + f.f) % 5 AS w, 4 + (d.doc_id * 3 + f.f) % 5 AS h
+        |  FROM documents d
+        |  JOIN (SELECT unnest(range(0, 4)) AS f) f
+        |    ON f.f < 1 + d.doc_id % 4 AND f.f % 2 = 0
+        |), px AS (
+        |  SELECT fr.doc_id, fr.frame_no, fr.w, fr.h, x.x AS x, y.y AS y
+        |  FROM frames fr
+        |  JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < fr.w
+        |  JOIN (SELECT unnest(range(0, 9)) AS y) y ON y.y < fr.h
+        |)
+        |SELECT doc_id, frame_no::INT AS frame_no, w::BIGINT AS width,
+        |       h::BIGINT AS height,
+        |       SUM((doc_id * 31 + frame_no * 17 + 7 * x + 13 * y) % 256)::BIGINT AS pixel_sum
+        |FROM px GROUP BY doc_id, frame_no, w, h
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // identical RE2-subset regex chain, identical sequential semantics:
+    // count emails on the raw text, replace; count IPs on the
+    // email-redacted text, replace; count phones on the IP-redacted text
+    "d_pii_redact" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.'
+         |    || (doc_id % 256) || '.7 or call 555-123-4567 ext ' || (doc_id % 10) || '.' AS t
+         |  FROM documents
+         |), s1 AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(t, '${Curation.EmailRe}'))::BIGINT AS n_email,
+         |    regexp_replace(t, '${Curation.EmailRe}', '<EMAIL>', 'g') AS t1
+         |  FROM raw
+         |), s2 AS (
+         |  SELECT doc_id, n_email,
+         |    len(regexp_extract_all(t1, '${Curation.Ipv4Re}'))::BIGINT AS n_ip,
+         |    regexp_replace(t1, '${Curation.Ipv4Re}', '<IP>', 'g') AS t2
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT doc_id, n_email, n_ip,
+         |    len(regexp_extract_all(t2, '${Curation.PhoneRe}'))::BIGINT AS n_phone,
+         |    regexp_replace(t2, '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |  FROM s2
+         |)
+         |SELECT doc_id, redacted, n_email, n_ip, n_phone
+         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // same synthesized line structure (3-token chunks, '.'/''/'!' cycling
+    // terminators, brace/lorem lines appended for id%37 / id%41), same
+    // C4 rules: keep lines ending in terminal punct with >= 3 words;
+    // keep docs with >= 2 terminal marks in the CLEANED text and no
+    // '{' / 'lorem ipsum' in the ORIGINAL
+    "d_c4_filter" ->
+      s"""WITH $toksCte, nl AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN len(t.tk) > 0 THEN
+         |      array_to_string(list_transform(range(1, CAST(ceil(len(t.tk)/3.0) AS BIGINT) + 1),
+         |        i -> array_to_string(t.tk[(i-1)*3+1:i*3], ' ') ||
+         |             CASE ((i-1) % 3) WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '!' END), chr(10))
+         |    ELSE '' END AS base_text
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |), txt AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 37 = 0 THEN base_text || chr(10) || 'code { x }'
+         |         WHEN doc_id % 41 = 0 THEN base_text || chr(10) || 'Lorem Ipsum dolor sit amet.'
+         |         ELSE base_text END AS t
+         |  FROM nl
+         |), lined AS (
+         |  SELECT doc_id, t,
+         |    list_filter(string_split(t, chr(10)), l -> len(l) > 0) AS all_lines
+         |  FROM txt
+         |), cleaned AS (
+         |  SELECT doc_id, t, all_lines,
+         |    array_to_string(list_filter(all_lines,
+         |      l -> regexp_matches(l, '[.!?"]$$')
+         |           AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> len(w) > 0)) >= 3),
+         |      chr(10)) AS clean_text,
+         |    len(list_filter(all_lines,
+         |      l -> regexp_matches(l, '[.!?"]$$')
+         |           AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> len(w) > 0)) >= 3))::BIGINT AS n_kept
+         |  FROM lined
+         |)
+         |SELECT doc_id, clean_text, n_kept, len(all_lines)::BIGINT AS n_total,
+         |  (len(clean_text) - len(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 2
+         |   AND t NOT LIKE '%{%' AND NOT contains(lower(t), 'lorem ipsum')) AS keep_doc
+         |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    // global first-occurrence keep over 8-token chunks: the (doc_id, pos)
+    // min is a total order, so the window-rank oracle and the engine's
+    // min-struct aggregate agree exactly
+    "d_para_dedup" ->
+      s"""WITH $toksCte, units AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, CAST(ceil(len(tk)/8.0) AS BIGINT) + 1)) AS i, tk
+         |  FROM toks WHERE len(tk) > 0
+         |), u2 AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[(i-1)*8+1:i*8], ' ') AS unit
+         |  FROM units
+         |), marked AS (
+         |  SELECT doc_id, pos, unit,
+         |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+         |  FROM u2
+         |)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list(unit ORDER BY pos) FILTER (WHERE rn = 1), ' '), '') AS clean_text,
+         |  count(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+         |  count(*)::BIGINT AS n_total
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same synthesized line structure (4-token chunks, bullet/ellipsis
+    // markers on the %7 / %11 residues), same exact-integer rules
+    "d_gopher_quality" ->
+      s"""WITH $toksCte, lined AS (
+         |  SELECT d.doc_id, t.tk,
+         |    CASE WHEN len(t.tk) > 0 THEN
+         |      list_transform(range(1, CAST(ceil(len(t.tk)/4.0) AS BIGINT) + 1),
+         |        i -> (CASE WHEN (d.doc_id + i - 1) % 7 = 0 THEN '• ' ELSE '' END)
+         |             || array_to_string(t.tk[(i-1)*4+1:i*4], ' ')
+         |             || (CASE WHEN (d.doc_id + i - 1) % 11 = 0 THEN '...' ELSE '' END))
+         |    ELSE [] END AS ln
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |), stats AS (
+         |  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+         |    CASE WHEN len(tk) > 0 THEN
+         |      (100 * coalesce(list_sum(list_transform(tk, x -> len(x))), 0)) // len(tk)
+         |    ELSE 0 END::BIGINT AS mean_word_len_e2,
+         |    CASE WHEN len(tk) > 0 THEN
+         |      (10000 * len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))) // len(tk)
+         |    ELSE 0 END::BIGINT AS alpha_word_e4,
+         |    CASE WHEN len(ln) > 0 THEN
+         |      (10000 * len(list_filter(ln, x -> regexp_matches(x, '^(•|- )')))) // len(ln)
+         |    ELSE 0 END::BIGINT AS bullet_line_e4,
+         |    CASE WHEN len(ln) > 0 THEN
+         |      (10000 * len(list_filter(ln, x -> regexp_matches(x, '(…|\\.\\.\\.)$$')))) // len(ln)
+         |    ELSE 0 END::BIGINT AS ellipsis_line_e4
+         |  FROM lined
+         |)
+         |SELECT doc_id, n_tokens, mean_word_len_e2, alpha_word_e4,
+         |  bullet_line_e4, ellipsis_line_e4,
+         |  (n_tokens BETWEEN 5 AND 100000 AND mean_word_len_e2 BETWEEN 150 AND 1000
+         |   AND alpha_word_e4 >= 5000 AND bullet_line_e4 <= 9000
+         |   AND ellipsis_line_e4 <= 3000) AS gopher_keep
+         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    // the composed pipeline: each stage's oracle CTE chained in the same
+    // order — gate, paragraph dedup over survivors, boilerplate drop,
+    // per-domain cap (plain-window twin of the salted cap), hash split
+    "d_curate_e2e" ->
+      s"""WITH $toksCte, raw AS (
+         |  SELECT doc_id, $messyUrlSql AS url FROM documents
+         |), $urlPartsSql, quality AS (
+         |  SELECT doc_id, tk FROM toks WHERE len(tk) >= 5
+         |), units AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, CAST(ceil(len(tk)/8.0) AS BIGINT) + 1)) AS i, tk
+         |  FROM quality WHERE len(tk) > 0
+         |), u2 AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[(i-1)*8+1:i*8], ' ') AS unit
+         |  FROM units
+         |), marked AS (
+         |  SELECT doc_id, pos, unit,
+         |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+         |  FROM u2
+         |), dd AS (
+         |  SELECT doc_id, count(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept
+         |  FROM marked GROUP BY doc_id
+         |  HAVING count(*) FILTER (WHERE rn = 1) > 0
+         |), ranked AS (
+         |  SELECT dd.doc_id, c.domain, dd.n_kept, row_number() OVER (
+         |    PARTITION BY c.domain
+         |    ORDER BY ${hash60Sql("CAST(dd.doc_id AS VARCHAR)")} ASC, dd.doc_id ASC) AS rn2
+         |  FROM dd JOIN canon c USING (doc_id)
+         |)
+         |SELECT doc_id, domain, n_kept,
+         |  CASE WHEN ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 < 50
+         |       THEN 'holdout' ELSE 'train' END AS split
+         |FROM ranked WHERE rn2 <= 50 ORDER BY doc_id""".stripMargin,
 
     "d_fingerprint" ->
       """SELECT doc_id,

@@ -49,6 +49,45 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
+  /** Paragraph-level exact dedup (RefinedWeb / MassiveText-style: remove
+    * REPEAT paragraphs corpus-wide, keep each document's residue): explode
+    * documents into (id, pos, unit) rows — `unitsOf` supplies the units
+    * (real paragraphs, lines, or synthetic token chunks for
+    * newline-free corpora) — keep only the globally FIRST occurrence of
+    * each distinct unit (min (id, pos) order), and reassemble each
+    * document from its surviving units in original order.
+    *
+    * Returns (idCol, clean_text, n_kept, n_total); documents whose every
+    * unit is a repeat survive with empty clean_text (the caller filters —
+    * dropping is a policy, not the operator's call).
+    *
+    * Scale shape: ONE shuffle on the unit's md5 (128-bit hash carried
+    * instead of the paragraph text for the exchange-width reason
+    * [[exactDedupByHash]] documents; min-of-struct is a map-side-combining
+    * aggregate, not a window — no per-key row buffering), broadcast-free
+    * self-join back on the hash only to mark survivors, then one
+    * aggregation on id to reassemble. A hot paragraph ("click here to
+    * subscribe" × 10^9) costs one combined row per input partition. */
+  def paraDedup(df: DataFrame, textCol: String, idCol: String,
+                unitsOf: Column => Column, sep: String = " "): DataFrame = {
+    val units = df
+      .select(col(idCol), posexplode(unitsOf(col(textCol))).as(Seq("pos", "unit")))
+      .withColumn("_h", md5(to_binary(col("unit"), lit("utf-8"))))
+    val firstSeen = units
+      .groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+      .select(col("_h"), col("_first")(idCol).as("_fid"), col("_first")("pos").as("_fpos"))
+    units.join(firstSeen, "_h")
+      .withColumn("_keep", col(idCol) === col("_fid") && col("pos") === col("_fpos"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(
+          collect_list(when(col("_keep"), struct(col("pos"), col("unit"))))),
+          s => s("unit")), sep).as("clean_text"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** Default (engine-internal) lane-hash family: per-lane xxhash64 —
     * element → array of `n` lane hashes. */
   def xxLaneHashes(n: Int)(s: Column): Column =

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, and batched per-partition decode/feature
   * extraction.
   *
-  * The actual codec step is a clearly-marked deterministic STUB (no
-  * image/audio libraries in this container — see the build brief); the
-  * Spark-side plumbing is real: schema, typed Dataset, one decoder
-  * instance per partition (the batched-UDF seam the reference exposes as
-  * its pluggable per-row-group function,
+  * Three REAL codecs sit behind the seam: [[Png]] (from-scratch zlib +
+  * scanline filters), [[Jpeg]] (pure-JDK imageio), [[Wav]] (from-scratch
+  * RIFF/PCM) — plus real integer box-average resize and structural
+  * concatenated-PNG frame sampling. Only kinds with no offline codec
+  * (true AV containers) fall back to a clearly-marked deterministic STUB;
+  * the Spark-side plumbing is identical either way: schema, typed
+  * Dataset, one decoder instance per partition (the batched-UDF seam the
+  * reference exposes as its pluggable per-row-group function,
   * overturemaestro/_parquet_multiprocessing.py:136-146).
   */
 object Multimodal {
@@ -65,6 +68,24 @@ object Multimodal {
           val dec = Jpeg.decode(r.payload)
           val (sum, f) = byteStats(dec.pixels)
           MediaFeatures(r.id, r.kind, r.payload.length, dec.width, dec.height, sum, f)
+        } else if (r.kind == "audio/wav") {
+          // REAL audio codec ([[Wav.decode]], from-scratch RIFF walk):
+          // width = frames per channel, height = channels, pixel_sum =
+          // unsigned-folded sample sum (s + 32768 per 16-bit sample —
+          // exact, PCM is lossless, so the oracle is pure arithmetic)
+          val dec = Wav.decode(r.payload)
+          var sum = 0L
+          val f = new Array[Float](FeatureDim)
+          var i = 0
+          while (i < dec.samples.length) {
+            val u = dec.samples(i) + 32768
+            sum += u
+            f(i % FeatureDim) += u / 65535.0f
+            i += 1
+          }
+          if (dec.samples.nonEmpty)
+            f.indices.foreach(j => f(j) /= math.max(dec.samples.length / FeatureDim, 1))
+          MediaFeatures(r.id, r.kind, r.payload.length, dec.nFrames, dec.channels, sum, f)
         } else {
           val (w, h, f) = stubDecode(r.payload)
           val (sum, _) = byteStats(r.payload)
@@ -174,6 +195,41 @@ object Multimodal {
         val out = r.payload.indices.by(stride).map(r.payload).toArray
         val (w, h, _) = stubDecode(out)
         ResizedMedia(r.id, r.kind, w, h, out)
+      }
+    }
+  }
+
+  case class FrameFeatures(id: Long, frame_no: Int, width: Int, height: Int,
+                           pixel_sum: Long)
+
+  /** REAL frame sampling (round 5 — the video seam's sampling + decode are
+    * no longer stubs): the payload is a concatenated-PNG stream (the
+    * honest offline stand-in for a video container — no AV codecs in this
+    * container, but PNG-stream formats are real: APNG/MNG lineage), split
+    * STRUCTURALLY via [[Png.frameEnd]]'s chunk walk (never a byte-signature
+    * scan — signatures occur inside compressed IDAT), every `every`-th
+    * frame decoded through the real codec. One input row → N frame rows:
+    * the flatMap batch shape a real video frame-sampler has; swapping the
+    * container parser is the only change a real deployment makes. */
+  def sampleFramesPng(media: Dataset[MediaRow], every: Int): Dataset[FrameFeatures] = {
+    require(every >= 1, s"sampling stride must be >= 1: $every")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      new Iterator[(Int, Array[Byte])] {
+        private var off = 0
+        private var no = 0
+        def hasNext: Boolean = off < r.payload.length
+        def next(): (Int, Array[Byte]) = {
+          val end = Png.frameEnd(r.payload, off)
+          val out = (no, java.util.Arrays.copyOfRange(r.payload, off, end))
+          off = end; no += 1
+          out
+        }
+      }.collect { case (no, bytes) if no % every == 0 =>
+        val dec = Png.decode(bytes)
+        var sum = 0L
+        dec.pixels.foreach(b => sum += (b & 0xff))
+        FrameFeatures(r.id, no, dec.width, dec.height, sum)
       }
     }
   }

@@ -233,4 +233,25 @@ object Png {
   private def readIntBE(a: Array[Byte], off: Int): Int =
     ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
       ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+
+  /** Structural frame boundary for concatenated-PNG streams: chunk-walk
+    * from `off` (which must hold a PNG signature) to the index just past
+    * the IEND chunk's CRC. Splitting MUST be structural, not a
+    * byte-signature scan — the 8 signature bytes can legitimately occur
+    * inside compressed IDAT data, so a scan would split mid-frame. */
+  def frameEnd(bytes: Array[Byte], off: Int): Int = {
+    require(off + 8 <= bytes.length &&
+      Signature.indices.forall(i => bytes(off + i) == Signature(i)),
+      s"no PNG signature at offset $off")
+    var pos = off + 8
+    var tpe = ""
+    while (tpe != "IEND") {
+      require(pos + 8 <= bytes.length, "truncated PNG (chunk header)")
+      val len = readIntBE(bytes, pos)
+      tpe = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(len >= 0 && pos + 12 + len <= bytes.length, s"truncated PNG ($tpe chunk)")
+      pos += 12 + len
+    }
+    pos
+  }
 }

@@ -129,10 +129,7 @@ object TextAnalysis {
     * permyriad encoding shared with the DuckDB oracle (`(10000*num)//den`).
     * The subtraction-of-remainder form keeps the final `/` exact (the
     * numerator is divisible by den, quotient ≤ 10000·n — double-safe). */
-  def permyriad(num: Column, den: Column): Column =
-    when(den > 0,
-      ((lit(10000L) * num - pmod(lit(10000L) * num, den)) / den).cast("long"))
-      .otherwise(lit(0L))
+  def permyriad(num: Column, den: Column): Column = scaledRatio(num, den, 10000L)
 
   /** Fraction of unit occurrences that are repeats beyond the first
     * (1 − distinct/total), permyriad. Gopher's "duplicate line fraction" /
@@ -190,6 +187,33 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
     permyriad((hashes + ellipsisChar + threeDots).cast("long"), nTokens)
   }
+
+  /** ⌊scale·num/den⌋ as a long, 0 when den = 0 — the general exact-integer
+    * scaled ratio behind [[permyriad]] (scale 10⁴) and the ×100 mean word
+    * length. Same subtraction-of-remainder exactness argument. */
+  def scaledRatio(num: Column, den: Column, scale: Long): Column =
+    when(den > 0,
+      ((lit(scale) * num - pmod(lit(scale) * num, den)) / den).cast("long"))
+      .otherwise(lit(0L))
+
+  /** Gopher mean word length ×100 (exact integer): ⌊100·Σlen(token)/n⌋.
+    * Gopher drops documents whose mean is outside [3, 10]. */
+  def meanWordLenE2(toks: Column): Column =
+    scaledRatio(aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")),
+      size(toks).cast("long"), 100L)
+
+  /** Gopher "fraction of words with at least one alphabetic character",
+    * permyriad (the rule drops docs below 0.8 — pure-number/symbol spam). */
+  def alphaWordFracE4(toks: Column): Column =
+    permyriad(size(filter(toks, t => t.rlike("[a-z]"))), size(toks))
+
+  /** Gopher "fraction of lines starting with a bullet point", permyriad. */
+  def bulletLineFracE4(lines: Column): Column =
+    permyriad(size(filter(lines, l => l.rlike("^(•|- )"))), size(lines))
+
+  /** Gopher "fraction of lines ending with an ellipsis", permyriad. */
+  def ellipsisLineFracE4(lines: Column): Column =
+    permyriad(size(filter(lines, l => l.rlike("(…|\\.\\.\\.)$"))), size(lines))
 
   /** 64-bit document fingerprint: polynomial rolling hash over the token
     * sequence (order-sensitive, whitespace-normalization-insensitive —

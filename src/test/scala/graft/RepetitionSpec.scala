@@ -100,4 +100,20 @@ class RepetitionSpec extends SparkTestBase {
     assert(df.select(TA.permyriad(col("num"), col("den")).as("v"))
       .collect().map(_.getLong(0)).toSeq === Seq(3333L, 5000L, 0L, 0L, 10000L))
   }
+
+  test("Gopher mean word length / alpha-word / bullet / ellipsis (hand-computed)") {
+    // tokens: "abcd" (4) "ee" (2) "fff" (3) "12" (0 alpha) — mean = 11/4
+    val toks = Dedup.tokens(col("text"))
+    assert(one(TA.meanWordLenE2(toks), "abcd ee, fff 12") === 275L)
+    assert(one(TA.alphaWordFracE4(toks), "abcd ee, fff 12") === 7500L)
+    // lines: bullet, plain, ellipsis-char, three-dot — 1/4 and 2/4
+    val lines = TA.textLines(col("text"))
+    val t = "• item one\nplain line\ntrails off…\nmore dots..."
+    assert(one(TA.bulletLineFracE4(lines), t) === 2500L)
+    assert(one(TA.ellipsisLineFracE4(lines), t) === 5000L)
+    // dash bullet counts too; empty text → all zeros
+    assert(one(TA.bulletLineFracE4(lines), "- dash bullet\nx") === 5000L)
+    assert(one(TA.meanWordLenE2(toks), "") === 0L)
+    assert(one(TA.bulletLineFracE4(lines), "") === 0L)
+  }
 }
