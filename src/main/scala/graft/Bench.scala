@@ -801,13 +801,17 @@ object Bench {
             else Some((runFile, median(idx.map(i => sweep(i)(lo) / (4.0 * sweep(i)(hi)))), idx.length))
           }
         else None
-      current.orElse(bestValidCitation(loadRunArtifacts()))
+      (current, current.orElse(bestValidCitation(loadRunArtifacts())))
     }
     val bestValidField = bestValid match {
-      case Some((file, eff, n)) =>
+      case (cur, Some((file, eff, n))) =>
+        // fresh = the cited 2→8 number came from THIS run's own valid
+        // pair, not a prior artifact (anyValidPair() is the wrong flag
+        // here: a valid 8→32 pair with an implausible 2→8 would claim
+        // freshness for a number actually carried by an old run)
         s""","best_valid":{"eff_2to8":${f"$eff%.3f"},"n":$n,""" +
-          s""""run_file":"BENCH/$file","fresh":${anyValidPair()}}"""
-      case None => ""
+          s""""run_file":"BENCH/$file","fresh":${cur.isDefined}}"""
+      case _ => ""
     }
     println(
       s"""{"metric":"flagship_compact","unit":"sec","value":${f"$total%.3f"},""" +
