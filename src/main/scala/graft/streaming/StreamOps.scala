@@ -56,6 +56,38 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming decontamination — the streaming twin of
+    * [[graft.operators.CorpusOps.flagOverlap]]: flag each arriving train
+    * doc sharing an n-token shingle with the STATIC eval/benchmark set.
+    * The eval side is benchmark-sized dimension data, so the match is a
+    * STATELESS stream-static broadcast equi-join on the 60-bit shingle
+    * hash — the unbounded train stream is never shuffled before its own
+    * per-doc aggregation, and the join itself holds zero state. The only
+    * stateful operator is the per-doc count, watermark-bounded like every
+    * twin here (exact-forever = unbounded state). `count` replaces the
+    * batch `countDistinct` (unsupported in streaming aggregation) and is
+    * EQUAL to it because [[graft.operators.Dedup.shingles]] already
+    * dedupes per doc and each doc arrives once. Converged output equals
+    * batch flagOverlap over the same rows — StreamingCheckpointSpec. */
+  def decontaminateStream(train: DataFrame, eval: DataFrame, textCol: String,
+                          idCol: String, tsCol: String, n: Int,
+                          watermark: String = "1 hour"): DataFrame = {
+    val evalHashes = eval
+      .select(explode(graft.operators.Dedup.shingles(col(textCol), n)).as("_sh"))
+      .select(graft.operators.Dedup.hash60(col("_sh")).as("_h"))
+      .distinct()
+    train
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(graft.operators.Dedup.shingles(col(textCol), n)).as("_sh"))
+      .select(col(idCol), col(tsCol), graft.operators.Dedup.hash60(col("_sh")).as("_h"))
+      .join(broadcast(evalHashes), "_h")
+      .groupBy(window(col(tsCol), "1 hour"), col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .drop("window")
+  }
+
   /** Incremental cell-index maintenance — the streaming twin of
     * [[graft.operators.CellIndex.build]]: as pages append, the per-cell
     * (n_rows, exact bounds) statistics update in place (complete/update

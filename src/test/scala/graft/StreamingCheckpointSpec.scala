@@ -366,4 +366,36 @@ class StreamingCheckpointSpec extends SparkTestBase {
     }
     assert(c.count() == 0 && c.columns.toSet == Set("v", "pfx"))
   }
+
+  test("streaming decontamination converges to batch flagOverlap") {
+    import graft.streaming.StreamOps
+    import graft.operators.CorpusOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toSeq
+    // eval set = every 25th doc's text (planted overlap, as in the batch
+    // spec); train = all docs, arriving across TWO triggers
+    val eval = docs.filter(_._1 % 25 == 0).toDF("doc_id", "text")
+    val (first, second) = docs.splitAt(docs.size / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // all rows share one in-watermark event time: arrival order must not
+    // change the converged per-doc counts
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", lit("2025-01-01 00:00:00"))
+    val out = s"decon_out_${System.nanoTime()}"
+    val q = StreamOps.decontaminateStream(stream, eval, "text", "doc_id", "ts", n = 4)
+      .writeStream.outputMode("complete").format("memory").queryName(out)
+      .trigger(Trigger.AvailableNow())
+    mem.addData(first: _*)
+    val q1 = q.start(); q1.awaitTermination(120000); q1.stop()
+    mem.addData(second: _*)
+    val q2 = q.start(); q2.awaitTermination(120000); q2.stop()
+    val got = spark.table(out).select($"doc_id", $"n_shared")
+      .as[(Long, Long)].collect().toSet
+    val exp = CorpusOps.flagOverlap(
+        spark.read.parquet(s"$sfDir/documents.parquet"), eval, "text", "doc_id", n = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(got == exp)
+    assert(exp.nonEmpty)
+  }
 }
