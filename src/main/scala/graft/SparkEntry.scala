@@ -564,6 +564,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m_wav_features" -> ((s, d) => {
+      // feature extraction PAST bare decode: per (channel, 5-frame
+      // window) exact-integer energy Σ|sample| + zero-crossing count,
+      // through the real RIFF/PCM codec; same synthesized fixture as
+      // m_wav_decode so the oracle is pure (doc_id, i) arithmetic
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val channels = (1 + id % 2).toInt
+        val frames = (8 + id % 9).toInt
+        val samples = Array.tabulate[Short](frames * channels)(i =>
+          (((id * 31 + i * 7) % 65536) - 32768).toShort)
+        Multimodal.MediaRow(id, "audio/wav", Wav.encodePcm16(8000, channels, samples))
+      }
+      Multimodal.audioFeatures(media, windowFrames = 5).toDF()
+        .select(col("id").as("doc_id"),
+          col("channel").cast("long").as("channel"),
+          col("window").cast("long").as("win"),
+          col("n_frames"), col("abs_sum"), col("zero_crossings"))
+        .orderBy(col("doc_id"), col("channel"), col("win"))
+    }),
+
     "m_frame_sample" -> ((s, d) => {
       // REAL frame sampling (round 5): concatenated-PNG stream split
       // STRUCTURALLY (Png.frameEnd chunk walk), every 2nd frame decoded
@@ -741,6 +762,18 @@ object SparkEntry {
         .orderBy(col("text_md5"))
     }),
 
+    "d_dedup_incremental" -> ((s, d) => {
+      // the daily-crawl delta: docs < 400 are yesterday's state, docs
+      // >= 400 today's batch; the (min, sum) monoid merge must equal the
+      // full recompute — the oracle IS the full-corpus dedup SQL
+      val docs = documents(s, d)
+      val state = Dedup.exactDedupByHash(
+        docs.where(col("doc_id") < 400), "text", "doc_id")
+      Dedup.exactDedupIncrement(state,
+          docs.where(col("doc_id") >= 400), "text", "doc_id")
+        .orderBy(col("text_md5"))
+    }),
+
     "d_token_count" -> ((s, d) => {
       documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -877,6 +910,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_decontaminate_bloom" -> ((s, d) => {
+      // the SAME sweep on its large-benchmark scale path: eval hashes
+      // folded into Spark's own distributed BloomFilterAggregate, train
+      // side prefiltered by a narrow codegen'd might_contain (still never
+      // shuffled), exact join only over the surviving sliver. Bloom has
+      // no false negatives and the exact join removes false positives, so
+      // the oracle is IDENTICAL to d_decontaminate's
+      val docs = documents(s, d)
+      val evalDocs = docs.where(col("doc_id") % 50 === 0)
+      val trainDocs = docs.where(col("doc_id") % 50 =!= 0)
+      CorpusOps.flagOverlapBloom(trainDocs, evalDocs, "text", "doc_id",
+          n = 4, expectedItems = 100000L, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
     "d_top_terms" -> ((s, d) => {
       // distinctive-term extraction: tf-idf ranking in exact integer
       // arithmetic — (tf desc, df asc, term asc), top 3 per doc
@@ -913,11 +961,67 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_dup_spans" -> ((s, d) => {
+      // corpus-level duplicated-span fraction — the exact-substring-dedup
+      // signal (Lee et al. 2021 proxy): every rolling 8-token window
+      // hashed, duplicated = its hash occurs >= 2 times corpus-wide
+      // (cross-doc or within-doc). Occurrences reduce to (doc, hash, m)
+      // map-side before any corpus-wide exchange; the hash (8 bytes)
+      // stands in for the span end-to-end
+      CorpusOps.dupSpans(documents(s, d), "text", "doc_id", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_chunk_pack" -> ((s, d) => {
+      // concat-and-chunk sequence packing (the GPT-style pretraining
+      // layout): global token offsets via the two-phase distributed
+      // prefix sum — deterministic id-range buckets, per-bucket totals
+      // collected (dimension data) and prefix-summed, per-bucket window
+      // cumsum shifted by the bucket offset. Nothing sorts globally.
+      CorpusOps.packChunks(documents(s, d), "text", "doc_id",
+          chunkTokens = 512, buckets = 32)
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_pack_segments" -> ((s, d) => {
+      // the loader-facing packing view: one row per (chunk, doc) overlap
+      // with in-chunk / in-doc offsets; a doc spanning a boundary splits.
+      // Bounded fan-out explode after the prefix sum — no new exchange
+      CorpusOps.packSegments(documents(s, d), "text", "doc_id",
+          chunkTokens = 512, buckets = 32)
+        .orderBy(col("chunk_id"), col("doc_id"))
+    }),
+
+    "d_token_bpe" -> ((s, d) => {
+      // portable BPE-ish subword estimate: whitespace tokens + case/digit
+      // boundary count (non-overlapping 2-char matches — identical scan
+      // semantics in Java regex and RE2). The fixture text is lowercase,
+      // so a camelCase+digit suffix is synthesized deterministically per
+      // doc to exercise every boundary class
+      documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" Doc"), col("doc_id"), lit("Xy")).as("_t"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("_t")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCountPortable(col("_t")).as("subword_est"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_sample_hash" -> ((s, d) => {
       // reproducible train/holdout assignment: hash the id, never rand()
       documents(s, d).select(col("doc_id"),
           Sampling.hashBucket(col("doc_id"), 1000).as("bucket"),
           Sampling.hashSplit(col("doc_id"), 1000, 50).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_sample_stratified" -> ((s, d) => {
+      // per-language budget rebalancing: keep-rate = min(1, budget/count)
+      // in exact permyriad, survivor iff deterministic hash bucket < rate.
+      // The fact side is never shuffled — counts are one map-side agg,
+      // the filter is narrow after a keyed (unhinted) join with rates
+      Sampling.stratifiedSample(documents(s, d), "lang", "doc_id",
+          perKeyBudget = 30)
+        .select(col("doc_id"), col("lang"), col("rate_e4"))
         .orderBy(col("doc_id"))
     }),
 
@@ -976,6 +1080,23 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.where(col("vec_id") >= 5), qs, k = 3)
         .select(col("q_id"), col("sim_rank"), col("vec_id"))
         .orderBy(col("q_id"), col("sim_rank"))
+    }),
+
+    "e_ivf_pq" -> ((s, d) => {
+      // the full production ANN shape (FAISS-style IVFADC): IVF cells
+      // prune the pair count (equi-join on cell — no cross join), PQ
+      // compresses the per-pair cost (8 integer lookups). Same refined
+      // centroids as e_ann_ivf; same codebook as e_pq_adc; integer ADC
+      // ranking so the oracle is exact end-to-end.
+      val emb = embeddings(s, d)
+      val seed = Similarity.sampleCentroids(emb, "vec_id", "embedding", stride = 50)
+      val cents = Similarity.refineCentroids(emb, "vec_id", "embedding", seed,
+        stride = 10, iters = 2)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfPqTopK(emb.where(col("vec_id") >= 5), qs, cents,
+          k = 3, nProbe = 3)
+        .orderBy(col("q_id"), col("pq_rank"))
     }),
 
     "e_pq_adc" -> ((s, d) => {
@@ -1040,6 +1161,49 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("bucket"),
           col("event_type"), col("n"), col("value_cents"))
         .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    "ev_funnel" -> ((s, d) => {
+      // first-touch ordered funnel (view → click → purchase): each step's
+      // time is the user's first qualifying event STRICTLY AFTER the
+      // previous step. Each stage is one map-side-combined agg producing
+      // a users-sized (dimension) table; the step joins are keyed on
+      // user_id and AQE-broadcastable — the events fact side is scanned
+      // per stage but never shuffled beyond the per-user aggs
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1_us"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, "user_id").where(col("us") > col("t1_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2_us"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, "user_id").where(col("us") > col("t2_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3_us"))
+      t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + when(col("t2_us").isNotNull, 1L).otherwise(0L)
+            + when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("stage_reached"),
+          col("t1_us"), col("t2_us"), col("t3_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    "ev_retention" -> ((s, d) => {
+      // weekly cohort retention: cohort = week index (fixed 1970 epoch,
+      // no corpus-wide min needed) of the user's FIRST event; one row per
+      // (cohort_week, week_offset) with the distinct active-user count.
+      // Two map-side-combined aggs + one users-sized keyed join
+      val week = lit(7L * 86400L * 1000000L)
+      val us = unix_micros(col("ts").cast("timestamp"))
+      // exact integer floor division (us >= 0): never a double quotient
+      val ev = events(s, d).select(col("user_id"),
+        ((us - pmod(us, week)) / week).cast("long").as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      ev.distinct().join(cohort, "user_id")
+        .withColumn("week_offset", col("wk") - col("cohort_week"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
     "ev_asof" -> ((s, d) => {
@@ -1255,6 +1419,26 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Shared by d_decontaminate and d_decontaminate_bloom: the bloom
+    * prefilter has no false negatives and its exact verify join removes
+    * false positives, so both plans must produce THIS exact result. */
+  private val decontaminateOracleSql: String =
+    s"""WITH $toksCte, sh AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 4
+       |    THEN list_distinct(list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')))
+       |    ELSE [] END AS sh
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), evh AS (
+       |  SELECT DISTINCT ${hash60Sql("s")} AS h FROM ex WHERE doc_id % 50 = 0
+       |), trh AS (
+       |  SELECT doc_id, ${hash60Sql("s")} AS h FROM ex WHERE doc_id % 50 <> 0
+       |)
+       |SELECT t.doc_id, count(DISTINCT t.h) AS n_shared
+       |FROM trh t JOIN evh e ON t.h = e.h
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   private val minhashOracleSql: String =
     s"""WITH $minhashCtes
        |SELECT id_a, id_b, CAST(round(agree * 10000.0 / 32) AS BIGINT) AS est_e4
@@ -1417,7 +1601,11 @@ object SparkEntry {
     * Similarity.refineCentroids + ivfTopK. Output columns are integers;
     * double-vs-double summation-order ulps can only matter at exact
     * argmax ties, which the synthetic embeddings don't produce. */
-  private val ivfOracleSql: String = {
+  /** Shared IVF oracle prelude: doubles view, every-50th seed centroids,
+    * every-10th Lloyd sample, two spherical-k-means iterations → `cents`,
+    * plus the data cell `assign` and 3-probe `probes` CTEs. Reused by the
+    * plain IVF oracle and the IVF×PQ composition oracle. */
+  private val ivfCentsCtes: String = {
     def lloyd(centsIn: String, assignCte: String, meansCte: String, centsOut: String): String =
       s"""$assignCte AS (
          |  SELECT vec_id, cid FROM (
@@ -1458,7 +1646,11 @@ object SparkEntry {
       |        ORDER BY list_cosine_similarity(q.dv, c.cv) DESC, c.cid ASC) AS rn
       |    FROM v q, cents c WHERE q.vec_id < 5)
       |  WHERE rn <= 3
-      |)
+      |)""".stripMargin
+  }
+
+  private val ivfOracleSql: String =
+    s"""$ivfCentsCtes
       |SELECT q_id, sim_rank, vec_id FROM (
       |  SELECT p.q_id, a.vec_id,
       |    row_number() OVER (PARTITION BY p.q_id
@@ -1466,7 +1658,50 @@ object SparkEntry {
       |  FROM probes p JOIN assign a ON a.cid = p.cid
       |  JOIN v d ON d.vec_id = a.vec_id JOIN v q ON q.vec_id = p.q_id)
       |WHERE sim_rank <= 3 ORDER BY q_id, sim_rank""".stripMargin
-  }
+
+  /** IVF×PQ oracle: the shared IVF cell/probe CTEs select the PAIRS; the
+    * ranking itself is the integer PQ ADC distance (codes = per-subspace
+    * integer argmin vs the formula codebook; adc = Σ_s dtable[s][code_s]). */
+  private val ivfPqOracleSql: String =
+    s"""$ivfCentsCtes, ei AS (
+      |  SELECT vec_id, list_transform(dv, x -> CAST(round(x * 1000) AS BIGINT)) AS e
+      |  FROM v
+      |), sc AS (
+      |  SELECT s.s, c.c
+      |  FROM (SELECT unnest(range(0, 8)) AS s) s, (SELECT unnest(range(0, 8)) AS c) c
+      |), dd AS (
+      |  SELECT d.vec_id, sc.s, sc.c,
+      |    CAST(list_sum(list_transform(range(0, 8), j ->
+      |      (d.e[sc.s*8 + j + 1] - (((sc.s*131 + sc.c*37 + j*17) % 41 - 20) * 10))
+      |      * (d.e[sc.s*8 + j + 1] - (((sc.s*131 + sc.c*37 + j*17) % 41 - 20) * 10))))
+      |      AS BIGINT) AS dist
+      |  FROM ei d CROSS JOIN sc WHERE d.vec_id >= 5
+      |), codes AS (
+      |  SELECT vec_id, s, c AS code FROM (
+      |    SELECT vec_id, s, c, row_number() OVER (
+      |      PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+      |    FROM dd
+      |  ) WHERE rn = 1
+      |), qd AS (
+      |  SELECT q.vec_id AS q_id, sc.s, sc.c,
+      |    CAST(list_sum(list_transform(range(0, 8), j ->
+      |      (q.e[sc.s*8 + j + 1] - (((sc.s*131 + sc.c*37 + j*17) % 41 - 20) * 10))
+      |      * (q.e[sc.s*8 + j + 1] - (((sc.s*131 + sc.c*37 + j*17) % 41 - 20) * 10))))
+      |      AS BIGINT) AS dist
+      |  FROM ei q CROSS JOIN sc WHERE q.vec_id < 5
+      |), adc AS (
+      |  SELECT p.q_id, a.vec_id, CAST(SUM(qd.dist) AS BIGINT) AS adc_dist
+      |  FROM probes p JOIN assign a ON a.cid = p.cid
+      |  JOIN codes cd ON cd.vec_id = a.vec_id
+      |  JOIN qd ON qd.q_id = p.q_id AND qd.s = cd.s AND qd.c = cd.code
+      |  GROUP BY p.q_id, a.vec_id
+      |), ranked AS (
+      |  SELECT q_id, vec_id, adc_dist, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS pq_rank
+      |  FROM adc
+      |)
+      |SELECT q_id, pq_rank, vec_id, adc_dist
+      |FROM ranked WHERE pq_rank <= 3 ORDER BY q_id, pq_rank""".stripMargin
 
   /** m_multimodal_decode oracle: the deterministic stub codec's 64-bit
     * wraparound byte fold, reproduced with HUGEINT mod-2^64 arithmetic
@@ -1500,22 +1735,10 @@ object SparkEntry {
     "d_dedup_keep_best" -> dedupKeepBestOracleSql,
 
     // same tokenize → 4-shingle → 60-bit md5 hash → eval-set semi machinery
-    "d_decontaminate" ->
-      s"""WITH $toksCte, sh AS (
-         |  SELECT doc_id, CASE WHEN len(tk) >= 4
-         |    THEN list_distinct(list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')))
-         |    ELSE [] END AS sh
-         |  FROM toks
-         |), ex AS (
-         |  SELECT doc_id, unnest(sh) AS s FROM sh
-         |), evh AS (
-         |  SELECT DISTINCT ${hash60Sql("s")} AS h FROM ex WHERE doc_id % 50 = 0
-         |), trh AS (
-         |  SELECT doc_id, ${hash60Sql("s")} AS h FROM ex WHERE doc_id % 50 <> 0
-         |)
-         |SELECT t.doc_id, count(DISTINCT t.h) AS n_shared
-         |FROM trh t JOIN evh e ON t.h = e.h
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "d_decontaminate" -> decontaminateOracleSql,
+    // bloom prefilter + exact verify ≡ the exact broadcast sweep (no false
+    // negatives; false positives removed) — the oracle IS d_decontaminate's
+    "d_decontaminate_bloom" -> decontaminateOracleSql,
 
     "d_top_terms" ->
       s"""WITH $toksCte, tf AS (
@@ -1595,6 +1818,53 @@ object SparkEntry {
          |       THEN 'holdout' ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // packSegments replayed: the same sequential cumsum, then one row per
+    // chunk in [chunk_first, chunk_last] with clamped segment arithmetic
+    "d_pack_segments" ->
+      s"""WITH $toksCte, t AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+         |  FROM t
+         |), e AS (
+         |  SELECT doc_id, n_tokens, tok_start,
+         |    unnest(range(tok_start // 512, (tok_start + n_tokens - 1) // 512 + 1)) AS chunk_id
+         |  FROM c WHERE n_tokens > 0
+         |)
+         |SELECT chunk_id, doc_id,
+         |  greatest(tok_start, chunk_id * 512) - chunk_id * 512 AS chunk_off,
+         |  greatest(tok_start, chunk_id * 512) - tok_start AS doc_off,
+         |  least(tok_start + n_tokens, (chunk_id + 1) * 512)
+         |    - greatest(tok_start, chunk_id * 512) AS seg_len
+         |FROM e ORDER BY chunk_id, doc_id""".stripMargin,
+
+    // subwordCountPortable replayed: same whitespace token count + the
+    // same non-overlapping boundary patterns via regexp_extract_all
+    "d_token_bpe" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || ' Doc' || doc_id || 'Xy' AS t2 FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(t2, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(t2, '\s+'), x -> len(x) > 0))
+        |    + len(regexp_extract_all(t2, '[a-z][A-Z]|[A-Za-z][0-9]|[0-9][A-Za-z]')) AS BIGINT) AS subword_est
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // stratifiedSample replayed: exact permyriad rates from group counts,
+    // the same md5-fold bucket, floor division throughout
+    "d_sample_stratified" ->
+      s"""WITH n AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+         |), r AS (
+         |  SELECT lang, least(10000, (10000 * 30) // n) AS rate_e4 FROM n
+         |)
+         |SELECT doc_id, lang, rate_e4
+         |FROM documents JOIN r USING (lang)
+         |WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 < rate_e4
+         |ORDER BY doc_id""".stripMargin,
+
     // the salted two-phase cap is proven identical to the plain window in
     // SamplingSpec, so the oracle IS the plain window
     "d_source_cap" ->
@@ -1631,6 +1901,7 @@ object SparkEntry {
     "s_hilbert_order" -> hilbertOracleSql,
     "e_ann_lsh" -> annOracleSql,
     "e_ann_ivf" -> ivfOracleSql,
+    "e_ivf_pq" -> ivfPqOracleSql,
 
     // PQ codebook formula + integer quantization replayed verbatim:
     // codes = per-subspace argmin of integer squared L2, ADC = Σ_s
@@ -1767,6 +2038,31 @@ object SparkEntry {
         |SELECT doc_id, frames::BIGINT AS n_frames, channels::BIGINT AS channels,
         |       SUM((doc_id * 31 + i * 7) % 65536)::BIGINT AS sample_sum
         |FROM samples GROUP BY doc_id, frames, channels ORDER BY doc_id""".stripMargin,
+
+    // audioFeatures replayed: interleaved index i → (frame i // ch,
+    // channel i % ch); Σ|x| per 5-frame window + sign-flip count with
+    // both ends inside the window (frame % 5 <> 0 excludes the boundary)
+    "m_wav_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS channels, 8 + doc_id % 9 AS frames
+        |  FROM documents
+        |), sam AS (
+        |  SELECT d.doc_id, CAST(i.i % d.channels AS BIGINT) AS channel,
+        |    i.i // d.channels AS frame,
+        |    ((d.doc_id * 31 + i.i * 7) % 65536) - 32768 AS x
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 32)) AS i) i ON i.i < d.frames * d.channels
+        |), w AS (
+        |  SELECT doc_id, channel, frame, frame // 5 AS win, x,
+        |    lag(x) OVER (PARTITION BY doc_id, channel ORDER BY frame) AS px
+        |  FROM sam
+        |)
+        |SELECT doc_id, channel, win,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(abs(x)) AS BIGINT) AS abs_sum,
+        |  CAST(sum(CASE WHEN frame % 5 <> 0 AND ((px < 0) <> (x < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM w GROUP BY 1, 2, 3 ORDER BY doc_id, channel, win""".stripMargin,
 
     // the sampled (even-numbered) frames' dims and pixel sums are pure
     // (doc_id, frame, x, y) arithmetic — the Spark side must reproduce
@@ -2211,9 +2507,60 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the incremental merge must EQUAL the full recompute — same SQL
+    "d_dedup_incremental" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d_token_count" ->
       """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // dupSpans replayed: rolling (non-distinct) 8-token windows, the same
+    // 60-bit md5 fold standing in for the span, duplicated = corpus
+    // occurrence count >= 2; permyriad = floor division, exact integers
+    "d_dup_spans" ->
+      s"""WITH $toksCte, w AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 8
+         |    THEN list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))
+         |    ELSE [] END AS ws
+         |  FROM toks
+         |), occ AS (
+         |  SELECT doc_id, ${hash60Sql("s")} AS h
+         |  FROM (SELECT doc_id, unnest(ws) AS s FROM w)
+         |), dm AS (
+         |  SELECT doc_id, h, count(*) AS m FROM occ GROUP BY 1, 2
+         |), hc AS (
+         |  SELECT h, sum(m) AS c FROM dm GROUP BY 1
+         |), pd AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN c >= 2 THEN m ELSE 0 END) AS BIGINT) AS dup_windows
+         |  FROM dm JOIN hc USING (h) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(n_windows, 0) AS n_windows,
+         |  coalesce(dup_windows, 0) AS dup_windows,
+         |  CASE WHEN coalesce(n_windows, 0) > 0
+         |    THEN (10000 * dup_windows) // n_windows ELSE 0 END AS dup_frac_e4
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // packChunks replayed as the SEQUENTIAL layout the distributed
+    // prefix sum must equal: one ordered window cumsum over doc_id
+    "d_chunk_pack" ->
+      s"""WITH $toksCte, t AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, tok_start,
+         |  tok_start // 512 AS chunk_first,
+         |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+         |    ELSE tok_start // 512 END AS chunk_last
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "d_quality" ->
       """WITH t AS (
@@ -2305,6 +2652,41 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, event_type,
         |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // first-touch funnel replayed: each step's min is taken strictly
+    // after the previous step's time, stage = 1 + reached flags
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), t1 AS (
+        |  SELECT user_id, min(us) AS t1_us FROM e WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, min(us) AS t2_us FROM e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1_us GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, min(us) AS t3_us FROM e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1
+        |)
+        |SELECT t1.user_id,
+        |  CAST(1 + (t2_us IS NOT NULL)::INT + (t3_us IS NOT NULL)::INT AS BIGINT) AS stage_reached,
+        |  t1_us, t2_us, t3_us
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // weekly cohort retention replayed: fixed-epoch week index, cohort =
+    // min week per user, distinct active users per (cohort, offset)
+    "ev_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+        |), c AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, wk FROM e
+        |)
+        |SELECT cohort_week, wk - cohort_week AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "ev_asof" ->
       """WITH p AS (

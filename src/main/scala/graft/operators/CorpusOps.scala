@@ -1,12 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level DataFrame operators for training-data curation, beyond
   * per-document columns (`TextAnalysis`) and near-dup pairing (`Dedup`):
-  * benchmark decontamination and distinctive-term extraction.
+  * benchmark decontamination, duplicated-span measurement, sequence
+  * packing, and distinctive-term extraction.
   */
 object CorpusOps {
 
@@ -37,6 +38,176 @@ object CorpusOps {
       .join(broadcast(evalHashes), "_h")
       .groupBy(col(idCol))
       .agg(countDistinct(col("_h")).as("n_shared"))
+  }
+
+  /** [[flagOverlap]]'s scale path for when the eval/benchmark shingle set
+    * itself outgrows a broadcast HASH JOIN (a few GB of 8-byte hashes):
+    * the eval hashes are folded into a Bloom filter by Spark's own
+    * distributed `BloomFilterAggregate` (bits sized from `expectedItems` /
+    * `fpp`, e.g. 10^9 items at 1% ≈ 1.2 GB — broadcastable long after the
+    * exact hash set is not), the 100 TB train side is PREFILTERED by a
+    * narrow codegen'd `might_contain` projection — still never shuffled —
+    * and only the surviving sliver takes the exact equi-join that removes
+    * bloom false positives. No false negatives exist, so the result is
+    * IDENTICAL to [[flagOverlap]] (spec-proven), and over-flagging from
+    * 60-bit hash collisions stays the only (conservative) approximation.
+    * Same contract: one row per contaminated train doc, (idCol, n_shared). */
+  def flagOverlapBloom(train: DataFrame, eval: DataFrame, textCol: String,
+                       idCol: String, n: Int, expectedItems: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    import org.apache.spark.sql.types.BinaryType
+    def shingleHashes(df: DataFrame) = df
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_sh"))
+      .select(col(idCol), Dedup.hash60(col("_sh")).as("_h"))
+    val evalHashes = shingleHashes(eval).select(col("_h")).distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bloom = evalHashes.select(toColumn(
+        new BloomFilterAggregate(toExpression(col("_h")),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as("_bf"))
+      .head().getAs[Array[Byte]](0)
+    val prefiltered = shingleHashes(train).where(toColumn(
+      BloomFilterMightContain(Literal(bloom, BinaryType),
+        toExpression(col("_h")))))
+    prefiltered.join(evalHashes, "_h")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("_h")).as("n_shared"))
+  }
+
+  /** Duplicated-span fraction — the corpus-level exact-substring-dedup
+    * signal (the distributed proxy for Lee et al. 2021's suffix-array
+    * "deduplicating training data" sweep): every rolling n-token window of
+    * every document is hashed, and a window counts as DUPLICATED when its
+    * hash occurs ≥ 2 times anywhere in the corpus (another document or a
+    * repeat inside the same one). Returns one row per input document:
+    * (idCol, n_windows, dup_windows, dup_frac_e4) with the fraction in
+    * exact permyriad integers (0 when a doc is shorter than n tokens).
+    *
+    * Unlike [[Dedup.shingles]] this keeps EVERY window position (no
+    * array_distinct): the signal is "what share of this doc's text sits in
+    * spans that exist elsewhere", so within-doc repeats must count.
+    *
+    * Scale shape: occurrences reduce to (doc, hash, m) by one map-side-
+    * combined aggregation BEFORE anything corpus-wide happens, so the
+    * shuffle carries one row per distinct (doc, window) — never one per
+    * token position. Corpus counts derive from that same aggregate (second
+    * keyed shuffle on the hash), and the rejoin is keyed on the hash with
+    * both sides already reduced; a boilerplate span shared by 10^9 docs
+    * costs its (doc, hash) rows, never a collected list. The 60-bit hash
+    * stands in for the window string end-to-end (the exchange carries 8
+    * bytes, not spans); a collision can only over-count duplication —
+    * conservative for a filter whose costly error is keeping a dup. */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               n: Int): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val windows = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val occ = df.select(col(idCol), explode(windows).as("_s"))
+      .select(col(idCol), Dedup.hash60(col("_s")).as("_h"))
+    val perDocHash = occ.groupBy(col(idCol), col("_h"))
+      .agg(count(lit(1)).as("_m"))
+    val corpusCounts = perDocHash.groupBy(col("_h"))
+      .agg(sum(col("_m")).as("_c"))
+    val perDoc = perDocHash.join(corpusCounts, "_h")
+      .groupBy(col(idCol))
+      .agg(sum(col("_m")).as("n_windows"),
+        sum(when(col("_c") >= 2, col("_m")).otherwise(0L)).as("dup_windows"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        TextAnalysis.permyriad(coalesce(col("dup_windows"), lit(0L)),
+          coalesce(col("n_windows"), lit(0L))).as("dup_frac_e4"))
+  }
+
+  /** Concat-and-chunk sequence packing — the standard pretraining layout
+    * (GPT-style): documents are concatenated in id order and cut into
+    * fixed `chunkTokens` context windows; each document maps to the global
+    * token interval [tok_start, tok_start + n_tokens) and hence to the
+    * chunk range [chunk_first, chunk_last]. Returns
+    * (idCol, n_tokens, tok_start, chunk_first, chunk_last).
+    *
+    * The global offset is a prefix sum over a total order — the one
+    * corpus-scale computation a naive `Window.orderBy(id)` (single
+    * partition = one executor sorts 100 TB) gets catastrophically wrong.
+    * This is the classic two-phase distributed scan instead:
+    * 1. deterministic range bucketing of the id space (uniform min/max
+    *    split — correct for ANY monotone bucketing, balance-only concern;
+    *    pass more `buckets` at scale so a bucket's rows fit an executor);
+    * 2. one map-side-combined per-bucket token total, collected to the
+    *    driver (`buckets` rows — dimension data) and prefix-summed;
+    * 3. a per-bucket window cumsum shifted by the bucket's prefix, the
+    *    offsets riding along as a broadcast map literal.
+    * Three narrow passes over a 2-column projection; nothing global ever
+    * sorts. At production scale persist the (id, n_tokens) projection
+    * first so passes 2–3 don't recompute tokenization. */
+  def packChunks(df: DataFrame, textCol: String, idCol: String,
+                 chunkTokens: Int, buckets: Int = 32): DataFrame = {
+    require(chunkTokens > 0 && buckets > 0)
+    def floorDiv(x: Column, d: Column): Column =
+      ((x - pmod(x, d)) / d).cast("long") // nonneg x throughout
+    val toks = df.select(col(idCol).cast("long").as(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val bounds = toks.agg(min(col(idCol)), max(col(idCol))).head()
+    if (bounds.isNullAt(0))
+      return toks.select(col(idCol), col("n_tokens"),
+        lit(0L).as("tok_start"), lit(0L).as("chunk_first"),
+        lit(0L).as("chunk_last")).limit(0)
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (maxId - minId) / buckets + 1)
+    val bucketed = toks.withColumn("_b",
+      floorDiv(col(idCol) - lit(minId), lit(width)))
+    val totals = bucketed.groupBy(col("_b"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prefix: Map[Long, Long] = {
+      var acc = 0L
+      totals.map { case (b, t) => val p = b -> acc; acc += t; p }.toMap
+    }
+    val w = Window.partitionBy(col("_b")).orderBy(col(idCol))
+    val c = lit(chunkTokens.toLong)
+    bucketed
+      .withColumn("tok_start",
+        element_at(typedLit(prefix), col("_b")) +
+          sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_first", floorDiv(col("tok_start"), c))
+      .withColumn("chunk_last",
+        when(col("n_tokens") > 0,
+          floorDiv(col("tok_start") + col("n_tokens") - 1, c))
+          .otherwise(col("chunk_first")))
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        col("chunk_first"), col("chunk_last"))
+  }
+
+  /** The loader-facing completion of [[packChunks]]: one row per
+    * (chunk, document) overlap — a document spanning a chunk boundary
+    * splits into per-chunk segments carrying the offsets a training-data
+    * loader needs to assemble fixed-size sequences. Returns
+    * (chunk_id, idCol, chunk_off, doc_off, seg_len); per chunk the
+    * seg_lens sum to ≤ chunkTokens, per doc they sum to n_tokens.
+    * Fan-out is bounded (≤ n_tokens/chunkTokens + 1 rows per doc), and
+    * everything after the prefix sum is a narrow explode — no new
+    * exchange. */
+  def packSegments(df: DataFrame, textCol: String, idCol: String,
+                   chunkTokens: Int, buckets: Int = 32): DataFrame = {
+    val c = lit(chunkTokens.toLong)
+    packChunks(df, textCol, idCol, chunkTokens, buckets)
+      .where(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .withColumn("_seg_start", greatest(col("tok_start"), col("chunk_id") * c))
+      .withColumn("_seg_end",
+        least(col("tok_start") + col("n_tokens"), (col("chunk_id") + 1) * c))
+      .select(col("chunk_id"), col(idCol),
+        (col("_seg_start") - col("chunk_id") * c).as("chunk_off"),
+        (col("_seg_start") - col("tok_start")).as("doc_off"),
+        (col("_seg_end") - col("_seg_start")).as("seg_len"))
   }
 
   /** Distinctive-term extraction: the top-k terms per document ranked by

@@ -49,6 +49,23 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup — the daily-crawl delta pattern: fold a NEW
+    * batch into yesterday's dedup state without rescanning the historical
+    * corpus. Works because [[exactDedup]]'s per-key summary
+    * (min survivor, count) is a commutative monoid: merging the old state
+    * with the delta's summary under the same (min, sum) aggregation is
+    * EXACTLY the full recompute — `d_dedup_incremental`'s oracle is
+    * literally the full-corpus dedup SQL, the equality being the
+    * incremental-correctness contract. Scale shape: one map-side-combined
+    * aggregation over state ∪ delta-summary; the 100 TB history is never
+    * reread — only its (distinct-key-sized) state table is. */
+  def exactDedupIncrement(state: DataFrame, newDocs: DataFrame,
+                          textCol: String, idCol: String): DataFrame =
+    state.unionByName(exactDedupByHash(newDocs, textCol, idCol))
+      .groupBy(col("text_md5"))
+      .agg(min(col("survivor_id")).as("survivor_id"),
+        sum(col("dup_count")).as("dup_count"))
+
   /** Paragraph-level exact dedup (RefinedWeb / MassiveText-style: remove
     * REPEAT paragraphs corpus-wide, keep each document's residue): explode
     * documents into (id, pos, unit) rows — `unitsOf` supplies the units

@@ -34,8 +34,11 @@ object Html {
     val entities = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    // literal (non-regex) global replace — same result as the quoted
+    // regexp pass but a plain substring scan; the DuckDB twin already
+    // uses literal replace(), so parity is unchanged
     val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
-      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+      replace(c, lit(from), lit(to))
     }
     trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
   }

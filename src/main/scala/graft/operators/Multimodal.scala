@@ -95,6 +95,52 @@ object Multimodal {
     }
   }
 
+  case class AudioWindow(id: Long, channel: Int, window: Int,
+                         n_frames: Long, abs_sum: Long, zero_crossings: Long)
+
+  /** Frame-windowed audio feature extraction through the real [[Wav]]
+    * codec — the "feature-extract" stage past bare decode: per
+    * (payload, channel, window of `windowFrames` frames) emit the
+    * EXACT-integer energy proxy Σ|sample| and the zero-crossing count
+    * (sign flips between consecutive frames, both ends inside the
+    * window; sign(x) = x < 0). One typed flatMap per row — bounded
+    * fan-out (frames/windowFrames windows per channel), narrow, no
+    * shuffle; 16-bit PCM is lossless so the oracle is pure arithmetic. */
+  def audioFeatures(media: Dataset[MediaRow],
+                    windowFrames: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    require(windowFrames > 0)
+    media.flatMap { r =>
+      val dec = Wav.decode(r.payload)
+      val ch = dec.channels
+      val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+      var c = 0
+      while (c < ch) {
+        var w = 0
+        while (w * windowFrames < dec.nFrames) {
+          val from = w * windowFrames
+          val until = math.min(from + windowFrames, dec.nFrames)
+          var absSum = 0L
+          var zcr = 0L
+          var f = from
+          while (f < until) {
+            val s = dec.samples(f * ch + c).toLong
+            absSum += math.abs(s)
+            if (f > from) {
+              val prev = dec.samples((f - 1) * ch + c).toLong
+              if ((prev < 0) != (s < 0)) zcr += 1
+            }
+            f += 1
+          }
+          out += AudioWindow(r.id, c, w, until - from, absSum, zcr)
+          w += 1
+        }
+        c += 1
+      }
+      out
+    }
+  }
+
   /** Unsigned-byte sum + per-stripe normalized means over `bytes`. */
   private def byteStats(bytes: Array[Byte]): (Long, Array[Float]) = {
     var sum = 0L

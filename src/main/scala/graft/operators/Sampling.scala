@@ -35,6 +35,31 @@ object Sampling {
     * streaming row_number windows (constant memory per reducer); the
     * per-shard top-k is a superset of the global top-k under the same
     * total order, so the result is identical to the unsalted window. */
+  /** Stratified downsampling to an expected per-group row budget (the
+    * corpus-rebalancing step behind per-language / per-domain mixture
+    * control, cf. UniMax-style budget allocation): each group's keep-rate
+    * is `min(1, budget / count_g)` in exact permyriad integers, and a row
+    * survives iff its deterministic [[hashBucket]] (10000 buckets) falls
+    * below the group's rate. Unlike [[perKeyCap]] this never shuffles the
+    * FACT side: group counts are one map-side-combined aggregation, and
+    * the survivor filter is a narrow projection after a keyed join of the
+    * fact rows with the (group, rate) table — which stays UNhinted on
+    * purpose (domains are unbounded at corpus scale; AQE broadcasts it
+    * exactly when it is actually small, the `topTerms` lesson). Hash
+    * sampling is exact-reproducible: reruns and late partitions keep the
+    * same rows. Returns the surviving rows plus `rate_e4`. */
+  def stratifiedSample(df: DataFrame, keyCol: String, idCol: String,
+                       perKeyBudget: Long): DataFrame = {
+    require(perKeyBudget > 0)
+    val x = lit(10000L * perKeyBudget)
+    val rates = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      .select(col(keyCol),
+        least(lit(10000L),
+          ((x - pmod(x, col("_n"))) / col("_n")).cast("long")).as("rate_e4"))
+    df.join(rates, keyCol)
+      .where(hashBucket(col(idCol), 10000) < col("rate_e4"))
+  }
+
   def perKeyCap(df: DataFrame, keyCol: String, orderCol: Column, idCol: String,
                 k: Int, salt: Int = 1): DataFrame = {
     val ord = Seq(orderCol.asc, col(idCol).asc)

@@ -166,12 +166,11 @@ object Similarity {
     * reproduces every distance bit-for-bit. Returns
     * (qIdCol, pq_rank, dataIdCol, adc_dist). */
   def pqAdcTopK(data: DataFrame, queries: DataFrame, k: Int,
-                m: Int = 8, codebookK: Int = 8,
+                m: Int = 8, codebookK: Int = 8, dim: Int = 64,
                 dataIdCol: String = "vec_id", dataVecCol: String = "embedding",
                 qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExpressions.{pq_encode, pq_dist_table}
-    val dim = 64 // fixture embedding dim; dsub derived
     val cents = pqCodebook(m, codebookK, dim / m)
     val encoded = data.select(col(dataIdCol),
       pq_encode(col(dataVecCol), cents).as("_codes"))
@@ -184,6 +183,43 @@ object Similarity {
             (s * lit(codebookK) + element_at(col("_codes"), s + 1) + 1).cast("int"))))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc_dist").asc, col(dataIdCol).asc)
     adc.withColumn("pq_rank", row_number().over(w))
+      .where(col("pq_rank") <= k)
+      .select(col(qIdCol), col("pq_rank"), col(dataIdCol), col("adc_dist"))
+  }
+
+  /** IVF × PQ — the full production ANN shape (FAISS IVFADC, public):
+    * IVF Voronoi cells prune the PAIR COUNT (equi-join on cell, no
+    * all-pairs anywhere), PQ compresses the PER-PAIR COST (m integer
+    * table lookups instead of a 64-dim float dot). The fact side is
+    * reduced to (id, cell, m codes) by two narrow codegen'd expressions
+    * and never rereads raw vectors; the query side broadcasts (nProbe
+    * cells + one m×k integer distance table per query). The ADC ranking
+    * is integer-exact, so only cell assignment reuses the (spec- and
+    * driver-proven) float cosine ranking. Returns
+    * (qIdCol, pq_rank, dataIdCol, adc_dist). */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame,
+                centroids: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
+                m: Int = 8, codebookK: Int = 8, dim: Int = 64,
+                dataIdCol: String = "vec_id", dataVecCol: String = "embedding",
+                qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.{pq_encode, pq_dist_table}
+    val cents = pqCodebook(m, codebookK, dim / m)
+    val assigned = data.select(col(dataIdCol),
+      element_at(centroidRank(col(dataVecCol), centroids, 1), 1).as("_cell"),
+      pq_encode(col(dataVecCol), cents).as("_codes"))
+    val probed = queries.select(col(qIdCol),
+        explode(centroidRank(col(qVecCol), centroids, nProbe)).as("_cell"),
+        pq_dist_table(col(qVecCol), cents).as("_dtab"))
+    // a data row has exactly one cell ⇒ a (query, data) pair matches at
+    // most once even when the query probes several cells
+    val cand = assigned.join(broadcast(probed), Seq("_cell")).drop("_cell")
+      .withColumn("adc_dist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+          acc + element_at(col("_dtab"),
+            (s * lit(codebookK) + element_at(col("_codes"), s + 1) + 1).cast("int"))))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc_dist").asc, col(dataIdCol).asc)
+    cand.withColumn("pq_rank", row_number().over(w))
       .where(col("pq_rank") <= k)
       .select(col(qIdCol), col("pq_rank"), col(dataIdCol), col("adc_dist"))
   }

@@ -21,6 +21,16 @@ object TextAnalysis {
       "\\s+|(?<=\\p{Ll})(?=\\p{Lu})|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
       t => length(t) > 0))
 
+  /** Portable BPE-ish subword estimate: whitespace tokens + case/digit
+    * boundary count via NON-OVERLAPPING two-char matches — Java regex and
+    * RE2 share the left-to-right non-overlapping scan for these patterns,
+    * so a DuckDB oracle replays it exactly. (The lookaround variant
+    * [[subwordCountEstimate]] counts overlapping boundaries too but RE2
+    * has no lookarounds — spec-only.) */
+  def subwordCountPortable(text: Column): Column =
+    tokenCount(text).cast("long") +
+      regexp_count(text, lit("[a-z][A-Z]|[A-Za-z][0-9]|[0-9][A-Za-z]"))
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

@@ -249,6 +249,23 @@ class DedupSpec extends SparkTestBase {
     assert(rows(4L) == ((Seq("x"), Seq())))
   }
 
+  test("exactDedupIncrement at any split equals the full recompute") {
+    val rnd = new scala.util.Random(17)
+    // heavy duplication so state and delta genuinely share keys
+    val docs = (0L until 300L).map(i => (i, "text" + rnd.nextInt(40)))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSet
+    val full = rows(Dedup.exactDedupByHash(docs, "text", "doc_id"))
+    for (split <- Seq(0L, 1L, 150L, 299L, 300L)) {
+      val state = Dedup.exactDedupByHash(
+        docs.where($"doc_id" < split), "text", "doc_id")
+      val got = rows(Dedup.exactDedupIncrement(state,
+        docs.where($"doc_id" >= split), "text", "doc_id"))
+      assert(got == full, s"split=$split")
+    }
+  }
+
   test("tokenCount splits on ALL whitespace (tabs/newlines, not just spaces)") {
     val df = Seq((1L, "one two\tthree\nfour\r\nfive"), (2L, "  padded  "), (3L, ""))
       .toDF("id", "text")

@@ -116,4 +116,18 @@ class RepetitionSpec extends SparkTestBase {
     assert(one(TA.meanWordLenE2(toks), "") === 0L)
     assert(one(TA.bulletLineFracE4(lines), "") === 0L)
   }
+
+  test("subwordCountPortable: tokens + non-overlapping boundary matches") {
+    val c = TA.subwordCountPortable(col("text"))
+    // 2 tokens + boundaries in "camelCase" (lC) and "v2go" (v2, 2g →
+    // NON-overlapping: 'v2' consumes the 2, so '2g' can't match — 1 only)
+    assert(one(c, "camelCase v2go") === 2L + 1L + 1L)
+    // "a1b2c": a1 consumed, b2 consumed, trailing c unpaired → 2 matches
+    assert(one(c, "a1b2c") === 1L + 2L)
+    // pure lowercase text adds nothing
+    assert(one(c, "plain words only") === 3L)
+    assert(one(c, "") === 0L)
+    // "Doc123Xy": c→1 boundary (c1), 3→X boundary (3X) → 2 matches
+    assert(one(c, "Doc123Xy") === 1L + 2L)
+  }
 }

@@ -52,4 +52,34 @@ class SamplingSpec extends SparkTestBase {
     val got = Sampling.perKeyCap(df, "source", col("score"), "id", k = 3, salt = 4)
     assert(got.columns.toSeq == Seq("id", "source", "score"))
   }
+
+  test("stratifiedSample: exact rates, deterministic survivors, small keys kept whole") {
+    val budget = 20L
+    val got = Sampling.stratifiedSample(df, "source", "id", budget)
+    // rate math: floor(10000 * budget / count_key), capped at 10000
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rates = got.select(col("source"), col("rate_e4")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (k, r) =>
+      assert(r == math.min(10000L, 10000L * budget / counts(k)), s"key $k")
+    }
+    // survivors = exactly the rows whose hash bucket clears the key's rate
+    val buckets = df.select(col("id"), Sampling.hashBucket(col("id"), 10000).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.collect {
+      case (id, src, _) if buckets(id) <
+        math.min(10000L, 10000L * budget / counts(src)) => id
+    }.toSet
+    val ids = got.select("id").as[Long].collect().toSet
+    assert(ids == expected)
+    // a key with fewer rows than the budget keeps every row
+    val tiny = Sampling.stratifiedSample(df.limit(8), "source", "id", budget)
+    assert(tiny.count() == 8)
+    // expected kept per key is near the budget for the big keys
+    val kept = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.foreach { case (k, n) =>
+      if (counts(k) > budget) assert(n >= 8 && n <= 36, s"key $k kept $n of target $budget")
+    }
+  }
 }

@@ -176,4 +176,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(0) == ((1L, 1, 10L, 0L)))
     assert(got(1)._3 == 11L && got(1)._4 > 0L)
   }
+
+  test("ivfPqTopK with nProbe = all cells equals pqAdcTopK exactly") {
+    val cents = Similarity.sampleCentroids(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", stride = 50)
+    val k = 5
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"pq_rank", $"vec_id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // probing every cell makes the IVF candidate set the full data side,
+    // so the composition must reduce to plain PQ ADC
+    val composed = rows(Similarity.ivfPqTopK(data, queries, cents, k,
+      nProbe = cents.size, dim = dim))
+    val plain = rows(Similarity.pqAdcTopK(data, queries, k, dim = dim))
+    assert(composed == plain)
+    assert(plain.nonEmpty)
+  }
 }

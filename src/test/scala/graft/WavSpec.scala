@@ -60,6 +60,27 @@ class WavSpec extends SparkTestBase {
     assert(f.pixel_sum == 0L + 32768L + 65535L + 32868L)
   }
 
+  test("audioFeatures: per-channel windows, exact energy + zero crossings") {
+    // stereo, 7 frames, window 3 → windows of 3/3/1 frames per channel.
+    // channel 0 alternates sign every frame (2 flips per full window);
+    // channel 1 is constant-positive (0 flips).
+    val ch0 = Array[Short](100, -200, 300, -400, 500, -600, 700)
+    val ch1 = Array[Short](10, 20, 30, 40, 50, 60, 70)
+    val interleaved = (0 until 7).flatMap(f => Seq(ch0(f), ch1(f))).toArray
+    val media = Seq(Multimodal.MediaRow(9L, "audio/wav",
+      Wav.encodePcm16(8000, 2, interleaved))).toDS()
+    val got = Multimodal.audioFeatures(media, windowFrames = 3)
+      .collect().map(a => (a.channel, a.window) ->
+        ((a.n_frames, a.abs_sum, a.zero_crossings))).toMap
+    assert(got((0, 0)) == ((3L, 600L, 2L)))   // 100+200+300, +/-/+
+    assert(got((0, 1)) == ((3L, 1500L, 2L)))  // 400+500+600, -/+/-
+    assert(got((0, 2)) == ((1L, 700L, 0L)))   // single frame: no pair
+    assert(got((1, 0)) == ((3L, 60L, 0L)))
+    assert(got((1, 1)) == ((3L, 150L, 0L)))
+    assert(got((1, 2)) == ((1L, 70L, 0L)))
+    assert(got.size == 6)
+  }
+
   test("sampleFramesPng splits structurally and decodes every k-th frame") {
     // three frames; the middle frame's PIXELS carry the PNG signature byte
     // pattern (deflate may or may not keep it literal in the stream —
