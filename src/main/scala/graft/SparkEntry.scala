@@ -409,6 +409,31 @@ object SparkEntry {
         .orderBy(col("cell_gx"), col("cell_gy"))
     }),
 
+    "s_tile_pyramid" -> ((s, d) => {
+      // tile pyramid from ONE fact scan: the finest level (z7) aggregates
+      // pages; every coarser level reaggregates the PREVIOUS level's tiny
+      // output (slippy tile coords halve exactly — floor division
+      // composes), never the fact table. log-many rollups at 100 TB; the
+      // oracle computes each level INDEPENDENTLY from lat/lng, so the
+      // shift derivation is certified exact, not assumed
+      val z7 = pages(s, d)
+        .groupBy(tile_x(col("lng"), 7).as("tile_x"),
+          tile_y(col("lat"), 7).as("tile_y"))
+        .agg(count(lit(1)).as("n_pages"))
+      def coarsen(df: DataFrame) = df
+        .groupBy(shiftright(col("tile_x"), 2).as("tile_x"),
+          shiftright(col("tile_y"), 2).as("tile_y"))
+        .agg(sum(col("n_pages")).as("n_pages"))
+      val z5 = coarsen(z7)
+      val z3 = coarsen(z5)
+      z7.withColumn("zoom", lit(7L))
+        .unionByName(z5.withColumn("zoom", lit(5L)))
+        .unionByName(z3.withColumn("zoom", lit(3L)))
+        .select(col("zoom"), col("tile_x").cast("long").as("tile_x"),
+          col("tile_y").cast("long").as("tile_y"), col("n_pages"))
+        .orderBy(col("zoom"), col("tile_x"), col("tile_y"))
+    }),
+
     "s_index_bounds" -> ((s, d) => {
       // cell-prefix index build (S4/A1 analog): exact bounds per cell
       CellIndex.build(pages(s, d), res = 4)
@@ -925,6 +950,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_heavy_hitters" -> ((s, d) => {
+      // exact heavy hitters WITHOUT aggregating the unbounded term
+      // domain: one Misra-Gries pass (k=256 counters, typed Aggregator)
+      // proposes a guaranteed superset of terms with freq >= total/50,
+      // one exact count restricted to the <= k candidates removes the
+      // overshoot — sketch-then-verify, exact result
+      import s.implicits._
+      val terms = documents(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("term"))
+        .as[String]
+      Sketches.heavyHitters(terms, denom = 50)
+        .orderBy(col("term"))
+    }),
+
     "d_top_terms" -> ((s, d) => {
       // distinctive-term extraction: tf-idf ranking in exact integer
       // arithmetic — (tf desc, df asc, term asc), top 3 per doc
@@ -1003,6 +1042,33 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("_t")).cast("long").as("n_tokens"),
           TextAnalysis.subwordCountPortable(col("_t")).as("subword_est"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_curate_full" -> ((s, d) => {
+      // the COMPLETE modern pretraining recipe as ONE composed plan:
+      // dup-span quality gate (train-corpus-wide counts) → benchmark
+      // decontamination (anti-join of flagged docs) → stratified
+      // per-language budget sampling → concat-and-chunk packing. Each
+      // stage is individually exact-oracled elsewhere; this query gates
+      // that they COMPOSE (stage order visible in the offsets: rates are
+      // computed over the post-filter corpus, offsets over the sample)
+      val docs = documents(s, d)
+      val evalDocs = docs.where(col("doc_id") % 50 === 0)
+      val train = docs.where(col("doc_id") % 50 =!= 0)
+      val kept = train.join(
+        CorpusOps.dupSpans(train, "text", "doc_id", n = 8)
+          .where(col("dup_frac_e4") < 3000).select("doc_id"), "doc_id")
+      val clean = kept.join(
+        CorpusOps.flagOverlap(kept, evalDocs, "text", "doc_id", n = 4)
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+      val sampled = Sampling.stratifiedSample(clean, "lang", "doc_id",
+        perKeyBudget = 25)
+      CorpusOps.packChunks(sampled, "text", "doc_id", chunkTokens = 512,
+          buckets = 32)
+        .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("tok_start"), col("chunk_first"), col("chunk_last"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1740,6 +1806,16 @@ object SparkEntry {
     // negatives; false positives removed) — the oracle IS d_decontaminate's
     "d_decontaminate_bloom" -> decontaminateOracleSql,
 
+    // the sketch is invisible in the answer: exact threshold count
+    "d_heavy_hitters" ->
+      s"""WITH $toksCte, tok AS (
+         |  SELECT unnest(tk) AS term FROM toks
+         |)
+         |SELECT term, CAST(count(*) AS BIGINT) AS n
+         |FROM tok GROUP BY term
+         |HAVING count(*) * 50 >= (SELECT count(*) FROM tok)
+         |ORDER BY term""".stripMargin,
+
     "d_top_terms" ->
       s"""WITH $toksCte, tf AS (
          |  SELECT doc_id, term, count(*) AS tf FROM (
@@ -1851,6 +1927,69 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split_regex(t2, '\s+'), x -> len(x) > 0))
         |    + len(regexp_extract_all(t2, '[a-z][A-Z]|[A-Za-z][0-9]|[0-9][A-Za-z]')) AS BIGINT) AS subword_est
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the full pretraining recipe, each stage's oracle CTE chained in
+    // composition order: train-corpus dup-span gate (< 3000 e4) →
+    // 4-shingle decontamination anti-join → per-lang rates over the
+    // CLEAN corpus → hash sampling → sequential cumsum + chunking
+    "d_curate_full" ->
+      s"""WITH $toksCte, w AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 8
+         |    THEN list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))
+         |    ELSE [] END AS ws
+         |  FROM toks WHERE doc_id % 50 <> 0
+         |), occ AS (
+         |  SELECT doc_id, ${hash60Sql("s")} AS h
+         |  FROM (SELECT doc_id, unnest(ws) AS s FROM w)
+         |), dm AS (
+         |  SELECT doc_id, h, count(*) AS m FROM occ GROUP BY 1, 2
+         |), hc AS (
+         |  SELECT h, sum(m) AS c FROM dm GROUP BY 1
+         |), pd AS (
+         |  SELECT doc_id, CASE WHEN sum(m) > 0
+         |    THEN (10000 * sum(CASE WHEN c >= 2 THEN m ELSE 0 END)) // sum(m)
+         |    ELSE 0 END AS dup_frac_e4
+         |  FROM dm JOIN hc USING (h) GROUP BY doc_id
+         |), kept AS (
+         |  SELECT d.doc_id, d.lang FROM documents d LEFT JOIN pd USING (doc_id)
+         |  WHERE d.doc_id % 50 <> 0 AND coalesce(pd.dup_frac_e4, 0) < 3000
+         |), sh4 AS (
+         |  SELECT doc_id, CASE WHEN len(tk) >= 4
+         |    THEN list_distinct(list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')))
+         |    ELSE [] END AS sh
+         |  FROM toks
+         |), ex AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM sh4
+         |), evh AS (
+         |  SELECT DISTINCT ${hash60Sql("s")} AS h FROM ex WHERE doc_id % 50 = 0
+         |), trh AS (
+         |  SELECT doc_id, ${hash60Sql("s")} AS h FROM ex WHERE doc_id % 50 <> 0
+         |), flagged AS (
+         |  SELECT DISTINCT t.doc_id FROM trh t JOIN evh e ON t.h = e.h
+         |), clean AS (
+         |  SELECT k.doc_id, k.lang FROM kept k
+         |  WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)
+         |), nl AS (
+         |  SELECT lang, count(*) AS n FROM clean GROUP BY 1
+         |), r AS (
+         |  SELECT lang, least(10000, (10000 * 25) // n) AS rate_e4 FROM nl
+         |), samp AS (
+         |  SELECT c2.doc_id, c2.lang FROM clean c2 JOIN r USING (lang)
+         |  WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 < rate_e4
+         |), tt AS (
+         |  SELECT s2.doc_id, s2.lang, CAST(len(t2.tk) AS BIGINT) AS n_tokens
+         |  FROM samp s2 JOIN toks t2 USING (doc_id)
+         |), cc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+         |  FROM tt
+         |)
+         |SELECT doc_id, lang, n_tokens, tok_start,
+         |  tok_start // 512 AS chunk_first,
+         |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+         |    ELSE tok_start // 512 END AS chunk_last
+         |FROM cc ORDER BY doc_id""".stripMargin,
 
     // stratifiedSample replayed: exact permyriad rates from group counts,
     // the same md5-fold bucket, floor division throughout
@@ -2427,6 +2566,26 @@ object SparkEntry {
          |  CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 32), 0), 31) AS BIGINT) AS tile_y,
          |  count(*) AS n_pages
          |FROM pages GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every zoom computed INDEPENDENTLY from lat/lng — certifies the
+    // engine's shift-derived pyramid levels exactly
+    "s_tile_pyramid" -> {
+      def level(zoom: Int): String = {
+        val n = 1 << zoom
+        s"""SELECT CAST($zoom AS BIGINT) AS zoom,
+           |  CAST(least(greatest(floor((lng + 180.0) / 360.0 * $n), 0), ${n - 1}) AS BIGINT) AS tile_x,
+           |  CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * $n), 0), ${n - 1}) AS BIGINT) AS tile_y,
+           |  count(*) AS n_pages
+           |FROM pages GROUP BY 1, 2, 3""".stripMargin
+      }
+      s"""WITH $P
+         |${level(7)}
+         |UNION ALL
+         |${level(5)}
+         |UNION ALL
+         |${level(3)}
+         |ORDER BY zoom, tile_x, tile_y""".stripMargin
+    },
 
     "s_tile_vectorize" ->
       s"""WITH $P, raster AS (
