@@ -950,6 +950,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_lm_score" -> ((s, d) => {
+      // perplexity-filter signal in exact integers: corpus bigram MLE
+      // (prefix-count denominator), floor-averaged per doc — no float
+      // log-likelihood to drift; model joins unhinted (AQE decides)
+      CorpusOps.lmScore(documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "d_heavy_hitters" -> ((s, d) => {
       // exact heavy hitters WITHOUT aggregating the unbounded term
       // domain: one Misra-Gries pass (k=256 counters, typed Aggregator)
@@ -1805,6 +1813,32 @@ object SparkEntry {
     // bloom prefilter + exact verify ≡ the exact broadcast sweep (no false
     // negatives; false positives removed) — the oracle IS d_decontaminate's
     "d_decontaminate_bloom" -> decontaminateOracleSql,
+
+    // bigram MLE replayed: same 2-shingles, prefix-count denominator,
+    // floor division at both the probability and the per-doc average
+    "d_lm_score" ->
+      s"""WITH $toksCte, bgx AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |    THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+         |    ELSE [] END) AS bg
+         |  FROM toks
+         |), occ AS (
+         |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgx
+         |), c2 AS (
+         |  SELECT w1, bg, count(*) AS c2 FROM occ GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+         |), p AS (
+         |  SELECT bg, (c2 * 1000000) // c1 AS p_e6 FROM c2 JOIN c1 USING (w1)
+         |), pd AS (
+         |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_p_e6
+         |  FROM occ o JOIN p USING (bg) GROUP BY 1
+         |)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(avg_p_e6, 0) AS avg_p_e6
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // the sketch is invisible in the answer: exact threshold count
     "d_heavy_hitters" ->

@@ -210,6 +210,48 @@ object CorpusOps {
         (col("_seg_end") - col("_seg_start")).as("seg_len"))
   }
 
+  /** N-gram language-model scoring — the perplexity-filter quality signal
+    * (a KenLM-style fluency proxy) in EXACT integer arithmetic: the
+    * corpus's own bigram MLE assigns each bigram occurrence
+    * p_e6 = (c(w1 w2) · 10⁶) // c(w1·), where c(w1·) counts w1 as a
+    * PREFIX (the proper conditional denominator), and a document scores
+    * the floor-average of its bigram probabilities. Floor division
+    * everywhere, so the DuckDB oracle replays it bit-for-bit — no float
+    * log-likelihood to drift. Returns (idCol, n_bigrams, avg_p_e6);
+    * docs shorter than 2 tokens score 0 over 0 bigrams.
+    *
+    * Scale shape: the model (bigram table) is corpus-sized like a
+    * vocabulary — both model joins stay UNhinted (the `topTerms` lesson:
+    * AQE broadcasts exactly when it is actually small), the per-doc
+    * aggregation is map-side combined, and nothing collects. */
+  def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    // tokens contain no spaces (split on non-alphanumerics), so the
+    // bigram string splits back unambiguously
+    val occ = df.select(col(idCol), explode(bigrams).as("_bg"))
+      .withColumn("_w1", split(col("_bg"), " ").getItem(0))
+    val c2 = occ.groupBy(col("_w1"), col("_bg")).agg(count(lit(1)).as("_c2"))
+    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    val x = col("_c2") * lit(1000000L)
+    val p = c2.join(c1, "_w1")
+      .select(col("_bg"), ((x - pmod(x, col("_c1"))) / col("_c1"))
+        .cast("long").as("_p_e6"))
+    val perDoc = occ.join(p, "_bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_p_e6")).as("_sum_p"))
+      .select(col(idCol), col("n_bigrams"),
+        ((col("_sum_p") - pmod(col("_sum_p"), col("n_bigrams")))
+          / col("n_bigrams")).cast("long").as("avg_p_e6"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_p_e6"), lit(0L)).as("avg_p_e6"))
+  }
+
   /** Distinctive-term extraction: the top-k terms per document ranked by
     * (term frequency desc, document frequency asc, term asc) — a tf-idf
     * ranking in EXACT integer arithmetic. For a fixed tf, idf is strictly

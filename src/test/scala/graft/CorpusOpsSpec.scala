@@ -111,6 +111,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(exact.nonEmpty)
   }
 
+  test("lmScore: corpus bigram MLE with prefix denominator, floor math") {
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: ab ba ab bc
+      (2L, "a b"),       // ab
+      (3L, "x")          // too short: 0 bigrams
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.lmScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // c2: ab=3, ba=1, bc=1; prefix counts: c1(a)=3, c1(b)=2
+    // p(ab)=3e6//3=1000000, p(ba)=1e6//2=500000, p(bc)=1e6//2=500000
+    assert(got(1L) == ((4L, 750000L))) // (1e6+5e5+1e6+5e5)//4
+    assert(got(2L) == ((1L, 1000000L)))
+    assert(got(3L) == ((0L, 0L)))
+  }
+
   test("dupSpans counts cross-doc AND within-doc repeated windows") {
     val docs = Seq(
       // 5 tokens -> 3 windows of 3; "one two three" also opens doc 2
