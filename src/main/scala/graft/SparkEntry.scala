@@ -610,6 +610,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("channel"), col("win"))
     }),
 
+    "m_audio_resample" -> ((s, d) => {
+      // 2:1 audio downsampling THROUGH the codec (decode → frame
+      // decimation → re-encode → decode): the decoded stats of the
+      // resampled payload are pure arithmetic over the even frames of
+      // the synthesized fixture — the container round-trip is load-bearing
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+        val channels = (1 + id % 2).toInt
+        val frames = (8 + id % 9).toInt
+        val samples = Array.tabulate[Short](frames * channels)(i =>
+          (((id * 31 + i * 7) % 65536) - 32768).toShort)
+        Multimodal.MediaRow(id, "audio/wav", Wav.encodePcm16(8000, channels, samples))
+      }
+      Multimodal.decodeFeatures(Multimodal.decimateAudio(media, stride = 2))
+        .toDF()
+        .select(col("id").as("doc_id"), col("width").cast("long").as("n_frames"),
+          col("height").cast("long").as("channels"), col("pixel_sum").as("sample_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m_frame_sample" -> ((s, d) => {
       // REAL frame sampling (round 5): concatenated-PNG stream split
       // STRUCTURALLY (Png.frameEnd chunk walk), every 2nd frame decoded
@@ -2211,6 +2231,23 @@ object SparkEntry {
         |SELECT doc_id, frames::BIGINT AS n_frames, channels::BIGINT AS channels,
         |       SUM((doc_id * 31 + i * 7) % 65536)::BIGINT AS sample_sum
         |FROM samples GROUP BY doc_id, frames, channels ORDER BY doc_id""".stripMargin,
+
+    // decimation replayed: output index j maps to original interleaved
+    // index (j // ch)·2·ch + (j % ch); unsigned fold as in m_wav_decode
+    "m_audio_resample" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS channels, 8 + doc_id % 9 AS frames
+        |  FROM documents
+        |), sel AS (
+        |  SELECT d.doc_id, d.channels, (d.frames + 1) // 2 AS out_frames, j.j,
+        |    (j.j // d.channels) * 2 * d.channels + (j.j % d.channels) AS i
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 32)) AS j) j
+        |    ON j.j < ((d.frames + 1) // 2) * d.channels
+        |)
+        |SELECT doc_id, out_frames::BIGINT AS n_frames, channels::BIGINT AS channels,
+        |  SUM((doc_id * 31 + i * 7) % 65536)::BIGINT AS sample_sum
+        |FROM sel GROUP BY doc_id, out_frames, channels ORDER BY doc_id""".stripMargin,
 
     // audioFeatures replayed: interleaved index i → (frame i // ch,
     // channel i % ch); Σ|x| per 5-frame window + sign-flip count with

@@ -98,6 +98,36 @@ object Multimodal {
   case class AudioWindow(id: Long, channel: Int, window: Int,
                          n_frames: Long, abs_sum: Long, zero_crossings: Long)
 
+  /** Audio resampling by integer frame decimation through the real codec:
+    * keep every `stride`-th FRAME (all channels of it — interleaving is
+    * preserved), re-encode as PCM16 at sampleRate/stride. Nearest-neighbor
+    * decimation is exact integer sample selection, so downstream decode
+    * stats have pure arithmetic oracles (the 16 kHz → 8 kHz normalization
+    * step of an audio curation pipeline, minus the anti-alias filter a
+    * DSP library would add — the SEAM and the container round-trip are
+    * the real parts). Narrow typed map, no shuffle. */
+  def decimateAudio(media: Dataset[MediaRow], stride: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(stride >= 1)
+    media.map { r =>
+      val dec = Wav.decode(r.payload)
+      val ch = dec.channels
+      val outFrames = (dec.nFrames + stride - 1) / stride
+      val out = new Array[Short](outFrames * ch)
+      var j = 0
+      while (j < outFrames) {
+        var c = 0
+        while (c < ch) {
+          out(j * ch + c) = dec.samples(j * stride * ch + c)
+          c += 1
+        }
+        j += 1
+      }
+      MediaRow(r.id, r.kind,
+        Wav.encodePcm16(math.max(1, dec.sampleRate / stride), ch, out))
+    }
+  }
+
   /** Frame-windowed audio feature extraction through the real [[Wav]]
     * codec — the "feature-extract" stage past bare decode: per
     * (payload, channel, window of `windowFrames` frames) emit the

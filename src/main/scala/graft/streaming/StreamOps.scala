@@ -210,6 +210,37 @@ object StreamOps {
     out.iterator
   }
 
+  /** Streaming heavy-hitters twin: terms hash-shard across `shards` keyed
+    * states; each shard folds its arrivals into a Misra–Gries summary
+    * (k counters — the state is k-bounded per shard, NEVER
+    * vocabulary-bounded) and re-emits its current candidate snapshot
+    * every trigger (Update mode). A term lives in exactly one shard, so
+    * the batch guarantee carries over per shard with N_shard ≤ N: any
+    * term with global freq ≥ N/denom (k ≥ denom) has a positive counter
+    * in its shard's summary at every trigger — the emitted union is a
+    * guaranteed superset, and exact counts come from the same batch
+    * verify pass as [[graft.operators.Sketches.heavyHitters]]. */
+  def heavyHittersStream(terms: DataFrame, termCol: String, k: Int,
+                         shards: Int = 32): DataFrame = {
+    import terms.sparkSession.implicits._
+    val mg = new graft.operators.Sketches.MisraGries(k)
+    terms
+      .select(pmod(xxhash64(col(termCol)), lit(shards.toLong)).as("shard"),
+        col(termCol).cast("string").as("term"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Long, rows: Iterator[(Long, String)],
+         state: GroupState[Map[String, Long]]) => {
+          val cur = rows.foldLeft(state.getOption.getOrElse(mg.zero)) {
+            (m, r) => mg.reduce(m, r._2)
+          }
+          state.update(cur)
+          cur.iterator.map { case (t, c) => (shard, t, c) }
+        })
+      .toDF("shard", "term", "mg_count")
+  }
+
   case class Event(event_id: Long, user_id: Long, ts_us: Long, value: Double)
   case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, cents: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, value_cents: Long)

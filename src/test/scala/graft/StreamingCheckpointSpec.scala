@@ -367,6 +367,40 @@ class StreamingCheckpointSpec extends SparkTestBase {
     assert(c.count() == 0 && c.columns.toSet == Set("v", "pfx"))
   }
 
+  test("streaming heavy hitters: superset guarantee holds at every trigger") {
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val stream0 = rnd.shuffle(Seq.fill(600)("alpha") ++ Seq.fill(400)("beta") ++
+      Seq.fill(1000)("rare" + rnd.nextInt(900)))
+    val (first, second) = stream0.splitAt(stream0.size / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val out = s"hh_out_${System.nanoTime()}"
+    val q = StreamOps.heavyHittersStream(mem.toDF().toDF("term"),
+        "term", k = 32, shards = 4)
+      .writeStream.outputMode("update").format("memory").queryName(out)
+      .trigger(Trigger.AvailableNow())
+    mem.addData(first: _*)
+    val q1 = q.start(); q1.awaitTermination(120000); q1.stop()
+    mem.addData(second: _*)
+    val q2 = q.start(); q2.awaitTermination(120000); q2.stop()
+    // last emitted snapshot per (shard, term) = the converged summary
+    val snap = spark.table(out).select($"shard", $"term", $"mg_count")
+      .as[(Long, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.last._3).toMap
+    val truth = stream0.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // superset: every term with freq >= N/denom (denom <= k) survives
+    val n = stream0.size.toLong
+    val heavy = truth.filter { case (_, c) => c * 32 >= n }.keySet
+    val candidates = snap.keySet.map(_._2)
+    assert(heavy.subsetOf(candidates), s"missing: ${heavy -- candidates}")
+    assert(heavy.contains("alpha") && heavy.contains("beta"))
+    // undercount bound + k-bounded state per shard
+    snap.foreach { case ((_, t), c) => assert(c <= truth(t), t) }
+    val perShard = snap.keySet.groupBy(_._1).view.mapValues(_.size)
+    perShard.foreach { case (s, sz) => assert(sz <= 32, s"shard $s size $sz") }
+  }
+
   test("streaming decontamination converges to batch flagOverlap") {
     import graft.streaming.StreamOps
     import graft.operators.CorpusOps

@@ -81,6 +81,22 @@ class WavSpec extends SparkTestBase {
     assert(got.size == 6)
   }
 
+  test("decimateAudio keeps every stride-th frame with interleaving intact") {
+    val ch0 = Array[Short](100, -200, 300, -400, 500, -600, 700)
+    val ch1 = Array[Short](10, 20, 30, 40, 50, 60, 70)
+    val interleaved = (0 until 7).flatMap(f => Seq(ch0(f), ch1(f))).toArray
+    val media = Seq(Multimodal.MediaRow(4L, "audio/wav",
+      Wav.encodePcm16(16000, 2, interleaved))).toDS()
+    val out = Multimodal.decimateAudio(media, stride = 2).collect().head
+    val dec = Wav.decode(out.payload)
+    // frames 0, 2, 4, 6 survive; channels stay paired; rate halves
+    assert(dec.nFrames == 4 && dec.channels == 2 && dec.sampleRate == 8000)
+    assert(dec.samples.toSeq == Seq[Short](100, 10, 300, 30, 500, 50, 700, 70))
+    // stride 1 is the identity round-trip
+    val same = Multimodal.decimateAudio(media, stride = 1).collect().head
+    assert(Wav.decode(same.payload).samples.toSeq == interleaved.toSeq)
+  }
+
   test("sampleFramesPng splits structurally and decodes every k-th frame") {
     // three frames; the middle frame's PIXELS carry the PNG signature byte
     // pattern (deflate may or may not keep it literal in the stream —
