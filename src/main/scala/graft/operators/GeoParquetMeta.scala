@@ -38,7 +38,8 @@ object GeoParquetMeta {
     * lon/lat convention (`overturemaestro/geopandas_io.py:23`). */
   def geoJson(primaryColumn: String,
               geometryTypes: Seq[String],
-              bbox: Option[(Double, Double, Double, Double)]): String = {
+              bbox: Option[(Double, Double, Double, Double)],
+              coveringColumn: Option[String] = None): String = {
     val root = mapper.createObjectNode()
     root.put("version", SpecVersion)
     root.put("primary_column", primaryColumn)
@@ -50,6 +51,15 @@ object GeoParquetMeta {
     bbox.foreach { case (xmin, ymin, xmax, ymax) =>
       val b = geom.putArray("bbox")
       b.add(xmin); b.add(ymin); b.add(xmax); b.add(ymax)
+    }
+    // GeoParquet 1.1 `covering`: names the per-row bbox struct column
+    // whose leaf min/max statistics let ANY parquet reader prune row
+    // groups spatially (the spec's ["column", "field"] path encoding)
+    coveringColumn.foreach { c =>
+      val cov = geom.putObject("covering").putObject("bbox")
+      Seq("xmin", "ymin", "xmax", "ymax").foreach { f =>
+        val a = cov.putArray(f); a.add(c); a.add(f)
+      }
     }
     mapper.writeValueAsString(root)
   }
@@ -172,10 +182,11 @@ object GeoParquetMeta {
   def stampDirectory(spark: SparkSession, dir: String,
                      primaryColumn: String = Pipeline.GeometryColumn,
                      geometryTypes: Seq[String] = Seq.empty,
-                     bbox: Option[(Double, Double, Double, Double)] = None): Int = {
+                     bbox: Option[(Double, Double, Double, Double)] = None,
+                     coveringColumn: Option[String] = None): Int = {
     val (conf, files) = partFiles(spark, dir)
     if (files.isEmpty) return 0
-    val json = geoJson(primaryColumn, geometryTypes, bbox)
+    val json = geoJson(primaryColumn, geometryTypes, bbox, coveringColumn)
     // ship the session's Hadoop conf as plain pairs (Configuration itself
     // is not serializable) and overlay it on executor-side defaults
     import scala.jdk.CollectionConverters._

@@ -51,6 +51,37 @@ object SortedSink {
       .parquet(path)
   }
 
+  /** Per-row bbox struct column for GeoParquet 1.1 `covering` (spec
+    * §covering, public): for point rows the box degenerates to the point.
+    * The payoff is at READ time and needs no GeoParquet-aware reader:
+    * the struct's leaf min/max land in ordinary parquet row-group
+    * statistics, so with Hilbert-clustered writes a bbox predicate on
+    * the leaves prunes row groups in ANY parquet engine. Narrow
+    * projection — no shuffle. */
+  def withPointBbox(df: DataFrame, latCol: String, lngCol: String,
+                    bboxCol: String = "bbox"): DataFrame =
+    df.withColumn(bboxCol, struct(
+      col(lngCol).cast("double").as("xmin"),
+      col(latCol).cast("double").as("ymin"),
+      col(lngCol).cast("double").as("xmax"),
+      col(latCol).cast("double").as("ymax")))
+
+  /** Hilbert-sorted GeoParquet 1.1 write: [[writeHilbertSorted]] plus the
+    * per-row `bbox` covering column and the `covering` footer metadata —
+    * the spec's spatial row-group pruning layout. */
+  def writeHilbertSortedCovering(df: DataFrame, path: String,
+                                 latCol: String, lngCol: String,
+                                 extent: (Double, Double, Double, Double),
+                                 order: Int = 16, numFiles: Int = 0,
+                                 primaryColumn: String = "geometry",
+                                 geometryTypes: Seq[String] = Seq("Point")): Unit = {
+    writeHilbertSorted(withPointBbox(df, latCol, lngCol), path,
+      latCol, lngCol, extent, order, numFiles)
+    GeoParquetMeta.stampDirectory(df.sparkSession, path,
+      primaryColumn = primaryColumn, geometryTypes = geometryTypes,
+      bbox = Some(extent), coveringColumn = Some("bbox"))
+  }
+
   /** Plain compressed sink (the reference's non-sorted path, S7). */
   def writeCompact(df: DataFrame, path: String, compression: String = "zstd",
                    compressionLevel: Option[Int] = None): Unit =

@@ -207,6 +207,42 @@ class ParityExtrasSpec extends SparkTestBase {
       s"sorted=${bytes(s"$base/sorted")} plain=${bytes(s"$base/plain")}")
   }
 
+  test("GeoParquet 1.1 covering: metadata paths, leaf pushdown, clustered spans") {
+    import graft.operators.GeoParquetMeta
+    val pts = sources.DerivedTables.pages(spark, sfDir)
+      .select(col("page_id"), col("lat"), col("lng"))
+    val dir = "/root/repo/target/covering_test/pts"
+    SortedSink.writeHilbertSortedCovering(pts, dir, "lat", "lng",
+      extent = (-180, -60, 180, 60), numFiles = 4,
+      primaryColumn = "bbox_only_demo", geometryTypes = Seq("Point"))
+    // 1. spec-shaped covering metadata: ["bbox","xmin"] … paths present
+    val geo = GeoParquetMeta.readGeo(spark, dir).get
+    assert(geo.contains("\"covering\""), geo)
+    Seq("xmin", "ymin", "xmax", "ymax").foreach { f =>
+      assert(geo.contains(s""""$f":["bbox","$f"]"""), s"missing $f path in $geo")
+    }
+    // 2. a predicate on the covering LEAVES reaches the parquet scan as a
+    // pushed filter — that is what row-group stats prune on
+    val q = spark.read.parquet(dir).where(col("bbox.xmin") >= 90.0)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("bbox.xmin"),
+      s"bbox leaf filter not pushed:\n$scan")
+    // 3. correctness: leaf predicate ≡ the raw lng predicate
+    val expected = pts.where(col("lng") >= 90.0).count()
+    assert(q.count() == expected && expected > 0)
+    // 4. the Hilbert layout makes the covering stats WORTH pruning on:
+    // per-file x-spans are a strict fraction of the global extent
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((smax(col("bbox.xmax")) - smin(col("bbox.xmin"))).as("span"))
+      .collect().map(_.getDouble(1))
+    assert(spans.length == 4)
+    val avgSpan = spans.sum / spans.length
+    assert(avgSpan < 0.75 * 360.0,
+      s"files not spatially clustered: spans=${spans.toSeq}")
+  }
+
   test("GeoParquet footer stamp: geo metadata present, rows byte-identical, spark-readable") {
     import graft.operators.GeoParquetMeta
     val pts = sources.DerivedTables.pages(spark, sfDir)
