@@ -29,5 +29,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): local[32] runs 32 concurrent tasks in ONE JVM —
+  // at 8g that is ~250 MB of heap per task slot before any caching, and
+  // the 90-query catalog session showed multi-query GC thrash (same query
+  // swinging 1.3 s ↔ 35 s between identical runs). 24g ≈ 0.75 GB/core,
+  // the low end of a production executor's per-core sizing (guide §5), and
+  // leaves >90 GiB of the 128 GiB sandbox for the OS page cache the bench
+  // input depends on. Still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

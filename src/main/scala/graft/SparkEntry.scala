@@ -42,6 +42,27 @@ object SparkEntry {
   /** exact money-cents: round(x*100) as long — same on both engines */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Deterministic global sort placed BELOW a query's expensive narrow
+    * projection (same rows, same total order as a trailing `orderBy`):
+    *
+    *  - a trailing `orderBy` makes the RangePartitioner SAMPLE its child,
+    *    executing the full expensive projection once for the sampling pass
+    *    and again for the output pass (guide §2.4 — the orderBy exists
+    *    only for deterministic output); sorting the narrow base columns
+    *    first computes the projection exactly once, above the sort;
+    *  - the partition count is pinned (`defaultParallelism`) instead of
+    *    relying on `orderBy`, because AQE coalesces a small range shuffle
+    *    to ONE partition and the expensive projection above it would run
+    *    single-threaded (measured on d_c4_filter: 5.8 s coalesced vs
+    *    ~1 s wide). AQE honors explicit repartition counts.
+    *
+    * Range partitions are emitted in key order and rows are sorted within
+    * each, so the global row order is identical to `orderBy(keys)` (all
+    * catalog sort keys are unique). */
+  private def presort(df: DataFrame, keys: Column*): DataFrame =
+    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+      .sortWithinPartitions(keys: _*)
+
   private val havSql = graft.sources.DerivedTables.haversineSql(
     "q.qlat", "q.qlng", "p.lat", "p.lng")
 
@@ -518,11 +539,19 @@ object SparkEntry {
         lit("<script>if (1 < 2) { x(); }</script></head><body><p class=\"a\">"),
         col("text"),
         lit("</p><br/>&amp;lt; stays &lt;b&gt; &#39;q&#39;&nbsp;end</body></html>"))
-      pages(s, d)
+      // SORT FIRST, extract after (identical rows in identical order): a
+      // trailing global orderBy makes the RangePartitioner sample its
+      // child — executing the full regex extraction once for the sampling
+      // pass and again for the output pass (guide §2.4: accidental double
+      // work behind an orderBy used for determinism). Sorting the narrow
+      // base columns first leaves the extraction ABOVE the sort, computed
+      // exactly once, and the exchange carries raw pages, not two
+      // extracted copies.
+      presort(pages(s, d)
+        .select(col("page_id"), col("text"), col("html")), col("page_id"))
         .select(col("page_id"),
           Html.extractText(rich).as("extracted"),
           (Html.extractText(col("html").cast("string")) === col("text")).as("roundtrip"))
-        .orderBy(col("page_id"))
     }),
 
     "m_jpeg_decode" -> ((s, d) => {
@@ -541,9 +570,14 @@ object SparkEntry {
           Jpeg.encodeGray(w, h,
             (x, y) => ((id * 31 + 7 * (x / 8) + 13 * (y / 8)) % 256).toInt))
       }
+      // cache the (tiny) decoded rows before the global sort: the sort's
+      // range sampling otherwise executes the full encode+decode pipeline
+      // a second time (guide §1.4/§2.4 — the dominant cost here is the
+      // codec, not the 5000-row sort)
       Multimodal.decodeFeatures(media).toDF()
         .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("pixel_sum"))
+        .cache()
         .orderBy(col("doc_id"))
     }),
 
@@ -562,10 +596,13 @@ object SparkEntry {
           Jpeg.encodeGray(w, h,
             (x, y) => ((id * 31 + 7 * (x / 8) + 13 * (y / 8)) % 256).toInt))
       }
+      // cache before the sort: same double-decode-under-range-sampling
+      // reasoning as m_jpeg_decode
       Multimodal.resizeImages(media, factor = 2)
         .map(r => (r.id, r.width.toLong, r.height.toLong,
           r.payload.map(b => (b & 0xff).toLong).sum))
         .toDF("doc_id", "width", "height", "pixel_sum")
+        .cache()
         .orderBy(col("doc_id"))
     }),
 
@@ -665,12 +702,12 @@ object SparkEntry {
         lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
         lit(".7 or call 555-123-4567 ext "), (col("doc_id") % 10).cast("string"),
         lit(".")))
-      withPii.select(col("doc_id"), Curation.redactPii(col("_t")).as("_p"))
+      presort(withPii.select(col("doc_id"), col("_t")), col("doc_id"))
+        .select(col("doc_id"), Curation.redactPii(col("_t")).as("_p"))
         .select(col("doc_id"), col("_p.redacted").as("redacted"),
           col("_p.n_email").cast("long").as("n_email"),
           col("_p.n_ip").cast("long").as("n_ip"),
           col("_p.n_phone").cast("long").as("n_phone"))
-        .orderBy(col("doc_id"))
     }),
 
     "d_c4_filter" -> ((s, d) => {
@@ -680,24 +717,30 @@ object SparkEntry {
       // is single-line, and docs id%37==0 / id%41==0 get a brace / lorem
       // line appended so both document-drop rules fire. Same recipe in
       // the oracle; narrow per-row compute throughout.
-      val toks = Dedup.tokens(col("text"))
-      val n = ((size(toks) + lit(2)) / lit(3)).cast("int")
-      val lines = transform(sequence(lit(1), n), i => concat(
-        concat_ws(" ", slice(toks, (i - lit(1)) * lit(3) + lit(1), lit(3))),
-        when(pmod(i - lit(1), lit(3)) === 0, lit("."))
-          .when(pmod(i - lit(1), lit(3)) === 1, lit(""))
-          .otherwise(lit("!"))))
-      val base = when(size(toks) > 0, array_join(lines, "\n")).otherwise(lit(""))
-      val txt = when(col("doc_id") % 37 === 0, concat(base, lit("\ncode { x }")))
-        .when(col("doc_id") % 41 === 0, concat(base, lit("\nLorem Ipsum dolor sit amet.")))
-        .otherwise(base)
-      documents(s, d)
+      // token array let-bound (the Dedup.shingles O(tokens²) lesson): the
+      // unbound tree re-tokenized once per synthesized line
+      val txt = graft.functions.ExprUtils.bind(Dedup.tokens(col("text"))) { toks =>
+        val n = ((size(toks) + lit(2)) / lit(3)).cast("int")
+        val lines = transform(sequence(lit(1), n), i => concat(
+          concat_ws(" ", slice(toks, (i - lit(1)) * lit(3) + lit(1), lit(3))),
+          when(pmod(i - lit(1), lit(3)) === 0, lit("."))
+            .when(pmod(i - lit(1), lit(3)) === 1, lit(""))
+            .otherwise(lit("!"))))
+        val base = when(size(toks) > 0, array_join(lines, "\n")).otherwise(lit(""))
+        when(col("doc_id") % 37 === 0, concat(base, lit("\ncode { x }")))
+          .when(col("doc_id") % 41 === 0, concat(base, lit("\nLorem Ipsum dolor sit amet.")))
+          .otherwise(base)
+      }
+      // sort the 2-column base first (d_html_extract's range-sampling
+      // reasoning): the synthetic line build + C4 rules then run once,
+      // above the sort, instead of once per pass
+      presort(documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), Curation.c4Clean(txt, minWords = 3, minSentences = 2).as("_c"))
         .select(col("doc_id"), col("_c.clean_text").as("clean_text"),
           col("_c.n_kept").cast("long").as("n_kept"),
           col("_c.n_total").cast("long").as("n_total"),
           col("_c.keep_doc").as("keep_doc"))
-        .orderBy(col("doc_id"))
     }),
 
     "d_para_dedup" -> ((s, d) => {
@@ -720,8 +763,8 @@ object SparkEntry {
       // structure synthesized (4-token chunks; '• ' prefix when
       // (doc_id+i)%7==0, '...' suffix when (doc_id+i)%11==0) because the
       // fixture text is single-line; all exact integers, pure per-row map.
-      val base = documents(s, d).select(col("doc_id"),
-        Dedup.tokens(col("text")).as("_toks")).cache()
+      val base = presort(documents(s, d).select(col("doc_id"),
+        Dedup.tokens(col("text")).as("_toks")).cache(), col("doc_id"))
       val n = ((size(col("_toks")) + lit(3)) / lit(4)).cast("int")
       val lines = when(size(col("_toks")) > 0,
         transform(sequence(lit(1), n), i => concat(
@@ -740,7 +783,6 @@ object SparkEntry {
             col("mean_word_len_e2").between(150, 1000) &&
             col("alpha_word_e4") >= 5000 &&
             col("bullet_line_e4") <= 9000 && col("ellipsis_line_e4") <= 3000)
-        .orderBy(col("doc_id"))
     }),
 
     "d_curate_e2e" -> ((s, d) => {
@@ -842,11 +884,10 @@ object SparkEntry {
 
     "d_lang_guess" -> ((s, d) => {
       // tokenize once behind a barrier; 5 marker intersections read the array
-      val toks = documents(s, d)
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("_toks")).cache()
+      val toks = presort(documents(s, d)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("_toks")).cache(), col("doc_id"))
       toks.select(col("doc_id"),
           TextAnalysis.langGuessFromTokens(col("_toks")).as("lang_guess"))
-        .orderBy(col("doc_id"))
     }),
 
     "d_jaccard_pairs" -> ((s, d) => {
@@ -1012,9 +1053,13 @@ object SparkEntry {
       // real newline-structured corpora, spec-covered). One tokenization
       // behind a cache barrier; everything downstream is narrow per-row
       // compute — the 100 TB plan is a pure map, no exchange at all.
-      val base = documents(s, d).select(
+      // cache the tokenization barrier, then sort BEFORE the seven signal
+      // aggregates: the trailing orderBy's range sampling re-executed all
+      // of them (the cache only shielded tokenization); sorted-first they
+      // run once and the sampler reads the cache
+      val base = presort(documents(s, d).select(
         col("doc_id"), col("text"), length(col("text")).cast("long").as("_len"),
-        Dedup.tokens(col("text")).as("_toks")).cache()
+        Dedup.tokens(col("text")).as("_toks")).cache(), col("doc_id"))
       val lines = TextAnalysis.tokenChunks(col("_toks"), 2)
       val paras = TextAnalysis.tokenChunks(col("_toks"), 3)
       base.select(col("doc_id"),
@@ -1025,7 +1070,6 @@ object SparkEntry {
           TextAnalysis.topNgramCharFracE4(col("_toks"), 3, col("_len")).as("top3_char_e4"),
           TextAnalysis.topNgramCharFracE4(col("_toks"), 4, col("_len")).as("top4_char_e4"),
           TextAnalysis.symbolWordRatioE4(col("text"), size(col("_toks")).cast("long")).as("sym_word_e4"))
-        .orderBy(col("doc_id"))
     }),
 
     "d_dup_spans" -> ((s, d) => {
@@ -1090,8 +1134,14 @@ object SparkEntry {
       val clean = kept.join(
         CorpusOps.flagOverlap(kept, evalDocs, "text", "doc_id", n = 4)
           .select("doc_id"), Seq("doc_id"), "left_anti")
+      // cached projection: `sampled` is consumed TWICE (packChunks input +
+      // the lang re-join) and its upstream is the entire gate → anti-join
+      // → sample chain — uncached, the whole pipeline ran once per
+      // consumer (plus once per packChunks driver action, now also fixed
+      // inside packChunks)
       val sampled = Sampling.stratifiedSample(clean, "lang", "doc_id",
         perKeyBudget = 25)
+        .select(col("doc_id"), col("lang"), col("text")).cache()
       CorpusOps.packChunks(sampled, "text", "doc_id", chunkTokens = 512,
           buckets = 32)
         .join(sampled.select(col("doc_id"), col("lang")), "doc_id")

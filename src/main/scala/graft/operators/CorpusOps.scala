@@ -55,24 +55,30 @@ object CorpusOps {
   def flagOverlapBloom(train: DataFrame, eval: DataFrame, textCol: String,
                        idCol: String, n: Int, expectedItems: Long = 1000000L,
                        fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
-    import org.apache.spark.sql.types.BinaryType
     def shingleHashes(df: DataFrame) = df
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_sh"))
       .select(col(idCol), Dedup.hash60(col("_sh")).as("_h"))
     val evalHashes = shingleHashes(eval).select(col("_h")).distinct()
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    val bloom = evalHashes.select(toColumn(
+    // The filter rides a SCALAR SUBQUERY, the same shape Spark's own
+    // injected runtime filters use (SPARK-32268) — NOT a driver-side
+    // head() folded into a plan Literal. A production-sized bloom (the
+    // ~1.2 GB the scaladoc cites) embedded as a Literal would ride the
+    // task closure of every stage referencing it; as a subquery it is
+    // computed by one distributed aggregation job and shipped once as a
+    // broadcast-style subquery result.
+    val bloomAgg = evalHashes.select(toColumn(
         new BloomFilterAggregate(toExpression(col("_h")),
           Literal(expectedItems), Literal(numBits)).toAggregateExpression())
         .as("_bf"))
-      .head().getAs[Array[Byte]](0)
+    val bloomSub = ScalarSubquery(
+      bloomAgg.queryExecution.analyzed)
     val prefiltered = shingleHashes(train).where(toColumn(
-      BloomFilterMightContain(Literal(bloom, BinaryType),
-        toExpression(col("_h")))))
+      BloomFilterMightContain(bloomSub, toExpression(col("_h")))))
     prefiltered.join(evalHashes, "_h")
       .groupBy(col(idCol))
       .agg(countDistinct(col("_h")).as("n_shared"))
@@ -103,11 +109,15 @@ object CorpusOps {
     * conservative for a filter whose costly error is keeping a dup. */
   def dupSpans(df: DataFrame, textCol: String, idCol: String,
                n: Int): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
-    val windows = when(size(toks) >= n,
+    // token array let-bound: the inlined tokenization tree would re-run
+    // once per window inside the slice lambda (O(tokens²) per doc — the
+    // Dedup.shingles lesson)
+    val windows = graft.functions.ExprUtils.bind(Dedup.tokens(col(textCol))) { toks =>
+      when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+        .otherwise(array().cast("array<string>"))
+    }
     val occ = df.select(col(idCol), explode(windows).as("_s"))
       .select(col(idCol), Dedup.hash60(col("_s")).as("_h"))
     val perDocHash = occ.groupBy(col(idCol), col("_h"))
@@ -152,8 +162,17 @@ object CorpusOps {
     require(chunkTokens > 0 && buckets > 0)
     def floorDiv(x: Column, d: Column): Column =
       ((x - pmod(x, d)) / d).cast("long") // nonneg x throughout
+    // CACHED: this operator runs three actions over `toks` (the id-bounds
+    // head(), the per-bucket totals collect(), and the final windowed
+    // plan) — uncached, each re-executed the ENTIRE upstream plan
+    // (for the composed d_curate_full recipe that upstream is the whole
+    // dup-span gate + decontamination + sampling pipeline, recomputed 3×).
+    // The projection is 2 longs/doc — exactly the "persist the
+    // (id, n_tokens) projection first" note below, now done by the
+    // operator itself.
     val toks = df.select(col(idCol).cast("long").as(idCol),
       size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .cache()
     val bounds = toks.agg(min(col(idCol)), max(col(idCol))).head()
     if (bounds.isNullAt(0))
       return toks.select(col(idCol), col("n_tokens"),
@@ -225,11 +244,13 @@ object CorpusOps {
     * AQE broadcasts exactly when it is actually small), the per-doc
     * aggregation is map-side combined, and nothing collects. */
   def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = Dedup.tokens(col(textCol))
-    val bigrams = when(size(toks) >= 2,
+    // token array let-bound (the Dedup.shingles O(tokens²) lesson)
+    val bigrams = graft.functions.ExprUtils.bind(Dedup.tokens(col(textCol))) { toks =>
+      when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+        .otherwise(array().cast("array<string>"))
+    }
     // tokens contain no spaces (split on non-alphanumerics), so the
     // bigram string splits back unambiguously
     val occ = df.select(col(idCol), explode(bigrams).as("_bg"))

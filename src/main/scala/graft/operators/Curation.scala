@@ -29,14 +29,19 @@ object Curation {
     *
     * Returns struct(redacted, n_email, n_ip, n_phone). */
   def redactPii(text: Column): Column = {
-    val nEmail = regexp_count(text, lit(EmailRe))
-    val t1 = regexp_replace(text, EmailRe, "<EMAIL>")
-    val nIp = regexp_count(t1, lit(Ipv4Re))
-    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
-    val nPhone = regexp_count(t2, lit(PhoneRe))
-    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
-    struct(t3.as("redacted"), nEmail.as("n_email"), nIp.as("n_ip"),
-      nPhone.as("n_phone"))
+    // each intermediate redaction is LET-BOUND (ExprUtils.bind): as plain
+    // Column vals, t1 was inlined into nIp AND t2 (and t2 into nPhone AND
+    // t3), so the email regex ran 3× and the IP regex 2× per row
+    import graft.functions.ExprUtils.bind
+    bind(regexp_replace(text, EmailRe, "<EMAIL>")) { t1 =>
+      bind(regexp_replace(t1, Ipv4Re, "<IP>")) { t2 =>
+        struct(
+          regexp_replace(t2, PhoneRe, "<PHONE>").as("redacted"),
+          regexp_count(text, lit(EmailRe)).as("n_email"),
+          regexp_count(t1, lit(Ipv4Re)).as("n_ip"),
+          regexp_count(t2, lit(PhoneRe)).as("n_phone"))
+      }
+    }
   }
 
   /** A C4 "retained line": ends in terminal punctuation and carries at
@@ -59,14 +64,26 @@ object Curation {
     * approximation; exact integers throughout, so the oracle replays it
     * with the same list/regex functions. */
   def c4Clean(text: Column, minWords: Int = 5, minSentences: Int = 3): Column = {
-    val lines = TextAnalysis.textLines(text)
-    val kept = filter(lines, l => keepLine(l, minWords))
-    val cleanText = array_join(kept, "\n")
-    val nSentences =
-      length(cleanText) - length(regexp_replace(cleanText, "[.!?]", ""))
-    val keepDoc = nSentences >= minSentences &&
-      !text.contains("{") && !lower(text).contains("lorem ipsum")
-    struct(cleanText.as("clean_text"), size(kept).as("n_kept"),
-      size(lines).as("n_total"), keepDoc.as("keep_doc"))
+    // the whole chain is LET-BOUND (ExprUtils.bind): `text` is often an
+    // expensive synthesized expression (d_c4_filter builds the line
+    // structure inline) and was re-evaluated for lines + the two document
+    // drops; `lines`/`kept`/`cleanText` were each inlined into every
+    // consumer (kept 2×, lines 2×, cleanText 3×), multiplying the line
+    // split and the per-line keep predicate per output field
+    import graft.functions.ExprUtils.bind
+    bind(text) { t =>
+      bind(TextAnalysis.textLines(t)) { lines =>
+        bind(filter(lines, l => keepLine(l, minWords))) { kept =>
+          bind(array_join(kept, "\n")) { cleanText =>
+            val nSentences =
+              length(cleanText) - length(regexp_replace(cleanText, "[.!?]", ""))
+            val keepDoc = nSentences >= minSentences &&
+              !t.contains("{") && !lower(t).contains("lorem ipsum")
+            struct(cleanText.as("clean_text"), size(kept).as("n_kept"),
+              size(lines).as("n_total"), keepDoc.as("keep_doc"))
+          }
+        }
+      }
+    }
   }
 }

@@ -14,15 +14,20 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
-  /** n-token shingles of a text column (overlapping windows). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** n-token shingles of a text column (overlapping windows).
+    *
+    * The token array is LET-BOUND ([[graft.functions.ExprUtils.bind]]):
+    * inlining the tokenization tree into the per-window `slice` lambda
+    * re-ran the regex split once per window — O(tokens²) per document
+    * (measured: 7.7 s to shingle the 5000-doc fixture; bound, ~0.3 s). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ExprUtils.bind(tokens(text)) { toks =>
+      when(size(toks) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Portable 60-bit hash: the first 15 hex chars of md5 as a long. Chosen
     * so the DuckDB oracle can reproduce the exact value (md5 + hex fold are
@@ -191,19 +196,31 @@ object Dedup {
     val sig = sh.select(col("_id"),
       signature(col("_sh"), numHashes).as("_sig"))
       .cache()
+    // IDS-ONLY band exchange (the discipline embeddingNearDupPairs and
+    // ngramJaccardPairsMinhashVerify already follow): the self-join and
+    // the pair-dedup carry (band-key, id) — 8 bytes of id, never the
+    // numHashes×8-byte signature. At 10^12 docs the signature-carrying
+    // variant shipped ~8 KB/doc ×bands through its widest shuffle (~100×
+    // this exchange); signatures are re-joined per CANDIDATE PAIR after
+    // dropDuplicates, which is bounded by the (much smaller) candidate
+    // count. Results identical: est_jaccard is a pure function of the two
+    // signatures, computed once per pair either way.
     val banded = sig.withColumn("_band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("b"),
             concat_ws(",", transform(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               x => x.cast("string"))).as("h")))))
-      .select(col("_id"), col("_sig"), col("_band.b").as("_b"), col("_band.h").as("_h"))
-    val l = banded.select(col("_id").as("id_a"), col("_sig").as("_sig_a"), col("_b"), col("_h"))
-    val r = banded.select(col("_id").as("id_b"), col("_sig").as("_sig_b"), col("_b"), col("_h"))
-    l.join(r, Seq("_b", "_h"))
+      .select(col("_id"), col("_band.b").as("_b"), col("_band.h").as("_h"))
+    val cand = banded.select(col("_id").as("id_a"), col("_b"), col("_h"))
+      .join(banded.select(col("_id").as("id_b"), col("_b"), col("_h")), Seq("_b", "_h"))
       .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(
-        size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => x === y), b => b))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a")), Seq("id_a"))
+      .join(sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(numHashes)).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
@@ -337,8 +354,12 @@ object Dedup {
         shingles(col(textCol), shingleLen).as("_sh"))
       .where(size(col("_sh")) > 0)
       .cache() // consumers: signature banding + per-pair exact verify
+    // cached: `banded` feeds BOTH sides of the candidate self-join, and
+    // without the barrier each side re-runs the 64-lane signature
+    // aggregate (the dominant narrow cost) over the cached shingles
     val sig = sh.select(col("_id"),
       minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
+      .cache()
     // r = 1: band key = (lane index, lane value); uniform fan-out of
     // numHashes rows per doc
     val banded = sig.select(col("_id"),

@@ -249,7 +249,10 @@ object Png {
       require(pos + 8 <= bytes.length, "truncated PNG (chunk header)")
       val len = readIntBE(bytes, pos)
       tpe = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      require(len >= 0 && pos + 12 + len <= bytes.length, s"truncated PNG ($tpe chunk)")
+      // long arithmetic: a crafted len near 2^31 would overflow the Int
+      // sum, pass the bound check, and crash the walk with a raw
+      // ArrayIndexOutOfBounds instead of this descriptive error
+      require(len >= 0 && pos.toLong + 12 + len <= bytes.length, s"truncated PNG ($tpe chunk)")
       pos += 12 + len
     }
     pos

@@ -65,10 +65,16 @@ object Sketches {
                    k: Int = 256): DataFrame = {
     require(k >= denom, s"k=$k must be >= denom=$denom for the MG superset guarantee")
     import terms.sparkSession.implicits._
-    val summary = terms.select(new MisraGries(k).toColumn).head()
+    // cached: the operator runs THREE actions over `terms` (MG summary,
+    // total count, exact candidate count) — uncached, the term stream's
+    // upstream (tokenize + explode) was re-executed per action, and the
+    // exactness argument leaned on the input replaying deterministically;
+    // the barrier makes all three actions read the same materialized rows
+    val t = terms.cache()
+    val summary = t.select(new MisraGries(k).toColumn).head()
     val candidates = summary.keys.toSeq
-    val total = terms.count()
-    terms.toDF("term")
+    val total = t.count()
+    t.toDF("term")
       .where(col("term").isin(candidates: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .where(col("n") * denom >= total)

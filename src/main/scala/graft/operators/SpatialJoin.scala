@@ -228,10 +228,15 @@ object SpatialJoin {
         Seq("_cell"))
       .withColumn("_dist", distC)
     var r = 0          // first unprobed ring
-    var batchRings = 1 // geometric batching: 1, 4, 16, … rings per round
+    var batchRings = 2 // geometric batching: 2, 8, 32, … rings per round
                        // (×4 growth: each driver round costs a fixed ~0.5 s
                        // of job overhead, so fewer-but-wider rounds win;
-                       // over-probing is bounded by the top-k trim)
+                       // over-probing is bounded by the top-k trim. Round 1
+                       // covers rings 0-1 — at any realistic density the
+                       // k nearest sit within one ring of the query cell,
+                       // so most queries resolve one full round earlier
+                       // than the ring-0-only start; results are identical,
+                       // only the probe extent per round changes)
     var remaining = unresolved.count()
     while (remaining > 0 && r <= maxRings) {
       val rEnd = math.min(r + batchRings - 1, maxRings)

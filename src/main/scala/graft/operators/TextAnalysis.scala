@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.ExprUtils.bind
 
 /** Text-analysis columns for web-text pipelines: language ID, quality
   * scoring, token counting, fingerprinting. All pure `functions._`
@@ -39,13 +40,13 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   /** Ratio of whitespace-delimited tokens that are in the stopword list. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = Dedup.tokens(text)
-    when(size(toks) > 0,
-      size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
-        .cast("double") / size(toks).cast("double"))
-      .otherwise(lit(0.0))
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    bind(Dedup.tokens(text)) { toks =>
+      when(size(toks) > 0,
+        size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+          .cast("double") / size(toks).cast("double"))
+        .otherwise(lit(0.0))
+    }
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with")
@@ -88,9 +89,11 @@ object TextAnalysis {
   /** As langGuess, over a pre-tokenized array column (materialize it behind
     * a cache/checkpoint barrier on hot paths — the 5 marker intersections
     * would otherwise each re-run tokenization after CollapseProject). */
-  def langGuessFromTokens(toks: Column): Column = {
+  def langGuessFromTokens(toks: Column): Column = bind(array_distinct(toks)) { dt =>
+    // the distinct token set is bound once — the 5 marker intersections
+    // each re-computed array_distinct over the full token array before
     val scored = LangMarkers.map { case (lang, markers) =>
-      struct(size(array_intersect(array_distinct(toks),
+      struct(size(array_intersect(dt,
         array(markers.map(lit): _*))).as("hits"), lit(lang).as("lang"))
     }
     // argmax by (hits desc, lang asc): sort the struct array and take last
@@ -120,20 +123,25 @@ object TextAnalysis {
     * single spaces — a deterministic synthetic "line" structure for
     * corpora whose text carries no newlines (the documents fixture). */
   def tokenChunks(toks: Column, width: Int): Column =
-    when(size(toks) > 0,
-      transform(
-        sequence(lit(1), ((size(toks) + lit(width - 1)) / lit(width)).cast("int")),
-        i => concat_ws(" ", slice(toks, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
-      .otherwise(array().cast("array<string>"))
+    bind(toks) { tk => // callers may pass a full tokenization TREE; bound,
+                       // it is evaluated once instead of once per chunk
+      when(size(tk) > 0,
+        transform(
+          sequence(lit(1), ((size(tk) + lit(width - 1)) / lit(width)).cast("int")),
+          i => concat_ws(" ", slice(tk, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Overlapping n-token word n-grams WITH multiplicity — repetition
     * signals measure duplicates, so this deliberately does NOT dedupe
     * (unlike [[Dedup.shingles]], whose set semantics feed Jaccard). */
   def ngramsAll(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    bind(toks) { tk => // same per-element re-evaluation guard as tokenChunks
+      when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** ⌊10000·num/den⌋ as a long, 0 when den = 0 — the exact-integer
     * permyriad encoding shared with the DuckDB oracle (`(10000*num)//den`).
@@ -145,7 +153,7 @@ object TextAnalysis {
     * (1 − distinct/total), permyriad. Gopher's "duplicate line fraction" /
     * "duplicate paragraph fraction" with `units` = lines / paragraphs. */
   def dupUnitFracE4(units: Column): Column =
-    permyriad(size(units) - size(array_distinct(units)), size(units))
+    bind(units)(u => permyriad(size(u) - size(array_distinct(u)), size(u)))
 
   /** Fraction of CHARACTERS sitting in repeat occurrences of a duplicated
     * unit (chars of all occurrences minus chars of the distinct set, over
@@ -154,7 +162,11 @@ object TextAnalysis {
   def dupUnitCharFracE4(units: Column): Column = {
     def chars(arr: Column) =
       aggregate(arr, lit(0L), (acc, u) => acc + length(u).cast("long"))
-    permyriad(chars(units) - chars(array_distinct(units)), chars(units))
+    // unit array and total char count bound once: the unbound form walked
+    // `units` three times (re-BUILDING it each time when the caller passed
+    // a chunking expression)
+    bind(units)(u => bind(chars(u))(cu =>
+      permyriad(cu - chars(array_distinct(u)), cu)))
   }
 
   /** (count, value) of the most frequent element, ties → lexicographically
@@ -173,7 +185,7 @@ object TextAnalysis {
           when(run > acc("best"), run).otherwise(acc("best")).as("best"),
           when(run > acc("best"), x).otherwise(acc("bestv")).as("bestv"))
       })
-    struct(stepped("best").as("cnt"), stepped("bestv").as("value"))
+    bind(stepped)(st => struct(st("best").as("cnt"), st("bestv").as("value")))
   }
 
   /** Gopher's "fraction of characters contained within the most
@@ -181,10 +193,12 @@ object TextAnalysis {
     * length (single-space-joined), over the document's total characters,
     * permyriad. Overlapping occurrences may over-count past 10000 by
     * design — it is a repetition signal, not a partition. */
-  def topNgramCharFracE4(toks: Column, n: Int, textLen: Column): Column = {
-    val top = topRunStats(ngramsAll(toks, n))
-    permyriad(top("cnt") * length(top("value")).cast("long"), textLen)
-  }
+  def topNgramCharFracE4(toks: Column, n: Int, textLen: Column): Column =
+    // bound: `top` is a full sort+run-length aggregate; referenced twice
+    // unbound, the whole O(n log n) pass ran twice per row
+    bind(topRunStats(ngramsAll(toks, n))) { top =>
+      permyriad(top("cnt") * length(top("value")).cast("long"), textLen)
+    }
 
   /** Gopher symbol-to-word ratio: occurrences of '#', '…' and '...' per
     * word token, permyriad. The '…' is counted before '...' never
@@ -219,11 +233,11 @@ object TextAnalysis {
 
   /** Gopher "fraction of lines starting with a bullet point", permyriad. */
   def bulletLineFracE4(lines: Column): Column =
-    permyriad(size(filter(lines, l => l.rlike("^(•|- )"))), size(lines))
+    bind(lines)(l => permyriad(size(filter(l, x => x.rlike("^(•|- )"))), size(l)))
 
   /** Gopher "fraction of lines ending with an ellipsis", permyriad. */
   def ellipsisLineFracE4(lines: Column): Column =
-    permyriad(size(filter(lines, l => l.rlike("(…|\\.\\.\\.)$"))), size(lines))
+    bind(lines)(l => permyriad(size(filter(l, x => x.rlike("(…|\\.\\.\\.)$"))), size(l)))
 
   /** 64-bit document fingerprint: polynomial rolling hash over the token
     * sequence (order-sensitive, whitespace-normalization-insensitive —
