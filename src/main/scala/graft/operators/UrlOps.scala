@@ -73,18 +73,46 @@ object UrlOps {
       array_sort(filter(split(query(url), "&"),
         p => length(p) > 0 && !isTracking(p))))
 
-  /** The full canonical URL (see the recipe in the object scaladoc). */
+  /** The full canonical URL (see the recipe in the object scaladoc).
+    *
+    * LET-BOUND pipeline (ExprUtils.bind): the naive composition of the
+    * per-part helpers re-derived the scheme-strip → fragment-strip →
+    * authority → hostPort chain for every part (~30 regex evaluations per
+    * row; port() alone appeared 4×), and `url` itself is often an
+    * expensive synthesized expression (d_curate_e2e feeds the messy-URL
+    * concat). Bound, each stage runs once; every regex and its
+    * application order are IDENTICAL to the helper chain, so the DuckDB
+    * oracle twin is untouched. */
   def canonicalUrl(url: Column): Column = {
-    val sch = scheme(url)
-    val keepPort = port(url) =!= "" &&
-      !((sch === "http" && port(url) === "80") ||
-        (sch === "https" && port(url) === "443"))
-    val q = canonicalQuery(url)
-    concat(
-      sch, lit("://"), host(url),
-      when(keepPort, concat(lit(":"), port(url))).otherwise(lit("")),
-      path(url),
-      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+    import graft.functions.ExprUtils.bind
+    bind(url) { u =>
+      bind(scheme(u)) { sch =>
+        // noFragment(u), inlined once: afterScheme → fragment strip
+        bind(regexp_replace(regexp_replace(u, SchemeRe, ""), "#.*$", "")) { nf =>
+          // hostPort(u): authority → userinfo strip
+          bind(regexp_replace(regexp_extract(nf, "^([^/?]*)", 1), "^.*@", "")) { hp =>
+            bind(regexp_extract(hp, ":([0-9]+)$", 1)) { prt =>
+              bind(concat_ws("&",
+                array_sort(filter(split(regexp_extract(nf, "\\?(.*)$", 1), "&"),
+                  p => length(p) > 0 && !isTracking(p))))) { q =>
+                val hostC = regexp_replace(
+                  lower(regexp_replace(hp, ":[0-9]+$", "")), "\\.$", "")
+                val pathC = regexp_replace(regexp_replace(
+                  regexp_replace(nf, "^[^/?]*", ""), "\\?.*$", ""), "/+$", "")
+                val keepPort = prt =!= "" &&
+                  !((sch === "http" && prt === "80") ||
+                    (sch === "https" && prt === "443"))
+                concat(
+                  sch, lit("://"), hostC,
+                  when(keepPort, concat(lit(":"), prt)).otherwise(lit("")),
+                  pathC,
+                  when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+              }
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Two-level public suffixes the registered-domain heuristic knows.
@@ -98,17 +126,26 @@ object UrlOps {
     * or three when the last two form a known two-level public suffix. */
   def registeredDomain(url: Column): Column = registeredDomainOfHost(host(url))
 
-  /** As [[registeredDomain]], over an already-extracted host column. */
+  /** As [[registeredDomain]], over an already-extracted host column.
+    * `h` and its label split are let-bound — callers pass the full
+    * host-extraction regex chain (or worse, host(messyUrl)), and the
+    * unbound form re-ran it for the split AND the fallback branch, with
+    * the split itself re-built for each of the five label accesses. */
   def registeredDomainOfHost(h: Column): Column = {
-    val labels = split(h, "\\.")
-    val n = size(labels)
-    // try_element_at: null (not an ANSI error) when the host has fewer
-    // labels than the index — the when-guards make that branch unreachable
-    val lastTwo = concat_ws(".",
-      try_element_at(labels, lit(-2)), try_element_at(labels, lit(-1)))
-    when(n >= 3 && lastTwo.isin(TwoLevelSuffixes: _*),
-      concat_ws(".", try_element_at(labels, lit(-3)), lastTwo))
-      .when(n >= 2, lastTwo)
-      .otherwise(h)
+    import graft.functions.ExprUtils.bind
+    bind(h) { hh =>
+      bind(split(hh, "\\.")) { labels =>
+        val n = size(labels)
+        // try_element_at: null (not an ANSI error) when the host has fewer
+        // labels than the index — the when-guards make that branch unreachable
+        bind(concat_ws(".",
+          try_element_at(labels, lit(-2)), try_element_at(labels, lit(-1)))) { lastTwo =>
+          when(n >= 3 && lastTwo.isin(TwoLevelSuffixes: _*),
+            concat_ws(".", try_element_at(labels, lit(-3)), lastTwo))
+            .when(n >= 2, lastTwo)
+            .otherwise(hh)
+        }
+      }
+    }
   }
 }
