@@ -805,6 +805,7 @@ object SparkEntry {
         k = 50, salt = 8)
       capped.select(col("doc_id"), col("domain"), col("n_kept"),
           Sampling.hashSplit(col("doc_id"), 1000, 50).as("split"))
+        .cache() // sampler would re-run the two cap windows
         .orderBy(col("doc_id"))
     }),
 
@@ -898,6 +899,8 @@ object SparkEntry {
         shingleLen = 3, threshold = 0.4, maxShingleFreq = 10000)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+        .cache() // tiny result; the sort's range sampler otherwise
+                 // re-executes the per-candidate exact-verify tail
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -911,6 +914,7 @@ object SparkEntry {
         shingleLen = 3, threshold = 0.12, maxShingleFreq = 10000)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+        .cache() // see d_jaccard_pairs: verify tail runs once, not twice
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -932,6 +936,7 @@ object SparkEntry {
         signature = Dedup.minhashSignaturePortable)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard") * 10000).cast("long").as("est_e4"))
+        .cache() // tiny result; sampler would re-run the est-verify joins
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -959,6 +964,7 @@ object SparkEntry {
         shingleLen = 2, numHashes = 32, bands = 16, threshold = 0.1,
         signature = Dedup.minhashSignaturePortable)
       Components.labelNodes(docs, "doc_id", pairs, "id_a", "id_b")
+        .cache() // sampler would re-run the label join
         .orderBy(col("doc_id"))
     }),
 
@@ -980,6 +986,7 @@ object SparkEntry {
         .orderBy(col("n_tokens").desc, col("doc_id").asc)
       withLen.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
         .select(col("component"), col("doc_id").as("keep_id"), col("n_tokens"))
+        .cache() // sampler would re-run the window + label join
         .orderBy(col("component"))
     }),
 
@@ -1147,6 +1154,7 @@ object SparkEntry {
         .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("tok_start"), col("chunk_first"), col("chunk_last"))
+        .cache() // sampler would re-run the packing window + lang join
         .orderBy(col("doc_id"))
     }),
 
@@ -1294,6 +1302,7 @@ object SparkEntry {
       // on the 10^-6-quantized vectors — bit-reproducible in DuckDB HUGEINT)
       Dedup.embeddingNearDupPairs(embeddings(s, d), "embedding", "vec_id",
         t2n = 4, t2d = 25, planes = AnnPlanes, bands = 8)
+        .cache() // tiny result; sampler would re-run the decimal verify joins
         .orderBy(col("id_a"), col("id_b"))
     }),
 
